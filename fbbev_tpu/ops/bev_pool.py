@@ -1,0 +1,143 @@
+"""Depth-weighted voxel pooling (the LSS "splat") as a static-shape
+segment-sum -- the TPU-native replacement for the reference's
+``bev_pool_v2`` CUDA kernel (``/root/reference/mmdet3d/ops/bev_pool_v2/``).
+
+Semantics (cf. ``src/bev_pool_cuda.cu:18-60``): for every frustum point p,
+
+    out[ranks_bev[p], c] += depth[ranks_depth[p]] * feat[ranks_feat[p], c]
+
+The CUDA version filters out-of-grid points and walks sorted voxel
+intervals with a handwritten two-pass backward.  On TPU we keep *all*
+``P = B*N*D*fH*fW`` points (static shape), route invalid points to a dump
+segment, and let XLA's scatter-add + autodiff do the rest.  ``ranks`` can be
+computed on-device (jit-traceable, train path with per-sample augmentation)
+or hoisted to the host / C++ helper when camera geometry is fixed
+(serving path -- the analogue of the reference's ``accelerate`` /
+TRT precompute, ``view_transformer.py:607-611`` and ``fbocc_trt.py:36-40``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fbbev_tpu import geometry
+
+
+def bev_pool(depth: jnp.ndarray, feat: jnp.ndarray,
+             ranks_depth: jnp.ndarray, ranks_feat: jnp.ndarray,
+             ranks_bev: jnp.ndarray, num_voxels: int,
+             sorted_ranks: bool = False) -> jnp.ndarray:
+    """Scatter-add depth-weighted features into voxels.
+
+    Args:
+      depth: (P_depth,) flattened depth weights.
+      feat: (P_feat, C) flattened per-pixel features.
+      ranks_depth: (P,) int index into ``depth`` per point.
+      ranks_feat: (P,) int index into ``feat`` per point.
+      ranks_bev: (P,) int voxel rank per point; ``num_voxels`` = dump slot
+        for invalid points.
+      num_voxels: number of real output voxels (B * nz * ny * nx).
+
+    Returns:
+      (num_voxels, C) pooled features.
+    """
+    prod = depth[ranks_depth][:, None] * feat[ranks_feat]
+    out = jax.ops.segment_sum(
+        prod, ranks_bev, num_segments=num_voxels + 1,
+        indices_are_sorted=sorted_ranks,
+    )
+    return out[:num_voxels]
+
+
+def lss_voxel_pool(coor: jnp.ndarray, depth: jnp.ndarray, feat: jnp.ndarray,
+                   grid_lower: Sequence[float], grid_interval: Sequence[float],
+                   grid_size: Sequence[int],
+                   sort_points: bool = True) -> jnp.ndarray:
+    """Full lift-splat pooling from ego-frame frustum coords.
+
+    Args:
+      coor: (B, N, D, fH, fW, 3) ego xyz of every frustum point
+        (from :func:`fbbev_tpu.geometry.frustum_to_ego`).
+      depth: (B, N, D, fH, fW) softmax depth weights.
+      feat: (B, N, fH, fW, C) per-pixel context features.
+      grid_lower / grid_interval: (3,) BEV grid origin / cell size (x, y, z).
+      grid_size: (nx, ny, nz) ints.
+      sort_points: sort points by voxel rank before the segment sum.  The
+        result is identical in exact arithmetic; sorted scatters are faster
+        on TPU and match the CUDA kernel's accumulation grouping.
+
+    Returns:
+      (B, ny, nx, nz, C) voxel features, channels last.  Flattened rank
+      order (b, z, y, x; x fastest) matches ``view_transformer.py:586-589``;
+      the output is transposed so Y/X/Z are the spatial axes used by the
+      rest of the framework.
+    """
+    B, N, D, fH, fW, _ = coor.shape
+    C = feat.shape[-1]
+    nx, ny, nz = (int(g) for g in grid_size)
+    P = B * N * D * fH * fW
+
+    lower = jnp.asarray(grid_lower, jnp.float32)
+    interval = jnp.asarray(grid_interval, jnp.float32)
+    ci, valid = geometry.voxel_coords(coor, lower, interval, (nx, ny, nz))
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P // B)
+    per_sample = nz * ny * nx
+    rank = (
+        batch_idx * per_sample
+        + (ci[..., 2] * (ny * nx) + ci[..., 1] * nx + ci[..., 0]).reshape(P)
+    )
+    num_voxels = B * per_sample
+    ranks_bev = jnp.where(valid.reshape(P), rank, num_voxels)
+
+    depth_flat = depth.reshape(P)
+    feat_flat = feat.reshape(B * N * fH * fW, C)
+    # point p = (b, n, d, h, w) -> pixel (b, n, h, w)
+    ranks_feat = (
+        jnp.arange(P, dtype=jnp.int32) // (D * fH * fW) * (fH * fW)
+        + jnp.arange(P, dtype=jnp.int32) % (fH * fW)
+    )
+
+    prod = depth_flat[:, None] * feat_flat[ranks_feat]
+    if sort_points:
+        order = jnp.argsort(ranks_bev)
+        out = jax.ops.segment_sum(
+            prod[order], ranks_bev[order], num_segments=num_voxels + 1,
+            indices_are_sorted=True,
+        )
+    else:
+        out = jax.ops.segment_sum(
+            prod, ranks_bev, num_segments=num_voxels + 1,
+        )
+    out = out[:num_voxels].reshape(B, nz, ny, nx, C)
+    return jnp.transpose(out, (0, 2, 3, 1, 4))  # (B, Y, X, Z, C)
+
+
+def precompute_ranks(coor, grid_lower, grid_interval, grid_size,
+                     D: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Host-side / jit-free rank precompute for the fixed-geometry serving
+    path.  Returns (ranks_depth, ranks_feat, ranks_bev) with static shape P,
+    sorted by voxel rank (invalid at the end).
+    """
+    B, N = coor.shape[:2]
+    fH, fW = coor.shape[3], coor.shape[4]
+    P = B * N * D * fH * fW
+    nx, ny, nz = (int(g) for g in grid_size)
+    lower = jnp.asarray(grid_lower, jnp.float32)
+    interval = jnp.asarray(grid_interval, jnp.float32)
+    ci, valid = geometry.voxel_coords(coor, lower, interval, (nx, ny, nz))
+    batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), P // B)
+    per_sample = nz * ny * nx
+    rank = (
+        batch_idx * per_sample
+        + (ci[..., 2] * (ny * nx) + ci[..., 1] * nx + ci[..., 0]).reshape(P)
+    )
+    ranks_bev = jnp.where(valid.reshape(P), rank, B * per_sample)
+    ranks_depth = jnp.arange(P, dtype=jnp.int32)
+    ranks_feat = (
+        ranks_depth // (D * fH * fW) * (fH * fW) + ranks_depth % (fH * fW)
+    )
+    order = jnp.argsort(ranks_bev)
+    return ranks_depth[order], ranks_feat[order], ranks_bev[order]

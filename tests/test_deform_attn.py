@@ -1,0 +1,47 @@
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from fbbev_tpu.ops import multi_scale_deformable_attention
+
+
+def torch_msda_oracle(value, spatial_shapes, sampling_locations,
+                      attention_weights):
+    """Torch oracle with the semantics of mmcv's
+    multi_scale_deformable_attn_pytorch (grid_sample align_corners=False,
+    zero padding, weighted sum over levels x points)."""
+    bs, _, num_heads, dim = value.shape
+    _, num_q, _, num_lvl, num_p, _ = sampling_locations.shape
+    splits = [h * w for h, w in spatial_shapes]
+    value_list = value.split(splits, dim=1)
+    out = torch.zeros(bs, num_q, num_heads, dim)
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v = value_list[lvl].permute(0, 2, 3, 1).reshape(
+            bs * num_heads, dim, H, W)
+        g = sampling_locations[:, :, :, lvl] * 2 - 1  # (bs,q,heads,p,2)
+        g = g.permute(0, 2, 1, 3, 4).reshape(bs * num_heads, num_q, num_p, 2)
+        sampled = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                                align_corners=False)
+        sampled = sampled.reshape(bs, num_heads, dim, num_q, num_p)
+        w = attention_weights[:, :, :, lvl].permute(0, 2, 1, 3)
+        out += (sampled * w[:, :, None]).sum(-1).permute(0, 3, 1, 2)
+    return out.reshape(bs, num_q, num_heads * dim)
+
+
+def test_msda_vs_torch_oracle(rng):
+    bs, heads, dim, num_q, num_p = 2, 4, 8, 10, 3
+    shapes = [(6, 9), (3, 5)]
+    num_v = sum(h * w for h, w in shapes)
+    value = rng.randn(bs, num_v, heads, dim).astype(np.float32)
+    loc = rng.rand(bs, num_q, heads, len(shapes), num_p, 2).astype(
+        np.float32) * 1.2 - 0.1
+    w = rng.rand(bs, num_q, heads, len(shapes), num_p).astype(np.float32)
+    w /= w.sum((-1, -2), keepdims=True)
+
+    ours = np.asarray(multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
+    ref = torch_msda_oracle(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc),
+        torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
