@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: FB-OCC R50 16-frame streaming inference throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "6-cam frames/sec/chip",
+   "vs_baseline": N}
+
+Baseline (BASELINE.json): >= 500 six-camera frames/sec on a v5e-8 pod with
+the released-checkpoint model, i.e. 62.5 frames/sec/chip.  vs_baseline is
+measured fps-per-chip divided by 62.5.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fbbev_tpu import geometry
+    from fbbev_tpu.models import FBOCC
+    from fbbev_tpu.models.fbocc import init_temporal_state
+
+    rng = np.random.RandomState(0)
+    B, N = 1, 6
+
+    intr = np.diag([560.0, 560.0, 1.0]).astype(np.float32)
+    intr[0, 2], intr[1, 2] = 352.0, 128.0
+    angles = np.linspace(0, 2 * np.pi, N, endpoint=False)
+    rots = np.stack([geometry.rot_z(a) for a in angles])[None]
+    post_rot = (np.eye(3) * 0.44 + np.diag([0.0, 0.0, 0.56])).astype(
+        np.float32)
+
+    def make_batch(seed: int, start: bool):
+        r = np.random.RandomState(seed)
+        return dict(
+            imgs=jnp.asarray(r.randn(B, N, 256, 704, 3).astype(np.float32)),
+            rots=jnp.asarray(rots.astype(np.float32)),
+            trans=jnp.zeros((B, N, 3)),
+            intrins=jnp.broadcast_to(jnp.asarray(intr), (B, N, 3, 3)),
+            post_rots=jnp.broadcast_to(jnp.asarray(post_rot), (B, N, 3, 3)),
+            post_trans=jnp.zeros((B, N, 3)),
+            bda=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+            start_of_sequence=jnp.full((B,), start, bool),
+            sequence_group_idx=jnp.zeros((B,), jnp.int32),
+            curr_to_prev_ego_rt=jnp.asarray(
+                np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+                + np.pad(r.randn(B, 3, 1).astype(np.float32) * 0.01,
+                         ((0, 0), (0, 1), (3, 0)))),
+        )
+
+    # bf16 compute: the TPU-native analogue of the reference's fp16
+    # deployment path (TensorRT FP16, deployment/README.md).
+    model = FBOCC(dtype=jnp.bfloat16)
+    state = init_temporal_state(B, (100, 100, 8), 16, 80)
+    batch0 = make_batch(0, True)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch0, state)
+
+    @jax.jit
+    def infer(variables, batch, state):
+        outputs, new_state = model.apply(variables, batch, state,
+                                         train=False)
+        return outputs["occ_logits"].argmax(-1), new_state
+
+    # warmup / compile.  NOTE: on the axon TPU tunnel block_until_ready
+    # does not actually block; a device->host transfer is the only
+    # reliable sync, so timing sections end with np.asarray(pred).
+    pred, state = infer(variables, batch0, state)
+    np.asarray(pred)
+
+    # pre-stage a few distinct batches so host->device copy is amortised
+    batches = [make_batch(i + 1, False) for i in range(4)]
+    # second warmup round over the staged batches
+    for b in batches:
+        pred, state = infer(variables, b, state)
+    np.asarray(pred)
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        pred, state = infer(variables, batches[i % len(batches)], state)
+    np.asarray(pred)
+    dt = (time.perf_counter() - t0) / iters
+    fps = B / dt
+
+    target_per_chip = 500.0 / 8.0
+    print(json.dumps({
+        "metric": "fbocc_r50_16f_infer_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "6-cam frames/sec/chip",
+        "vs_baseline": round(fps / target_per_chip, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

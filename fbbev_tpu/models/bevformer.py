@@ -1,0 +1,373 @@
+"""Backward projection: depth-aware BEVFormer-style BEV refinement.
+
+Parity references (``/root/reference/mmdet3d/models/fbbev/view_transformation/backward_projection/``):
+
+* ``backward_projection.py:34-133``  -- BEV query embedding + lss seeding
+* ``bevformer_utils/positional_encoding.py:12-66``  -- learned row/col PE
+* ``bevformer_utils/bevformer_encoder.py:27-377``  -- reference points,
+  point sampling, layer op order (self_attn, norm, cross_attn, norm, ffn, norm)
+* ``bevformer_utils/spatial_cross_attention_depth.py``  -- depth-aware
+  spatial cross attention (:31-223) and deformable attention (:362-601)
+
+TPU-native redesign: the reference gathers, per camera, only the BEV
+queries whose reference points project into that camera (dynamic
+``max_len`` rebatching, python loops :163-216).  Here every camera attends
+over *all* queries densely and invalid (query, camera) pairs are masked
+out of the final per-camera average -- trading a small amount of extra
+MXU work for fully static shapes (the approach the reference's own TRT
+export takes, ``fbocc_trt.py:42-76``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fbbev_tpu import geometry
+from fbbev_tpu.ops.deform_attn import (
+    msda_sample, multi_scale_deformable_attention)
+from fbbev_tpu.registry import HEADS
+
+
+def _msda_offset_bias_init(num_heads: int, num_levels: int, num_points: int,
+                           num_z_anchors: int = 1):
+    """Directional init of sampling-offset biases.
+
+    mmcv convention (and its depth-aware variant,
+    ``spatial_cross_attention_depth.py:440-458``): head h points along
+    angle 2*pi*h/heads, normalised to the unit square, repeated over
+    levels and points; scaled by (i+1) over the per-anchor point index.
+    """
+    thetas = np.arange(num_heads, dtype=np.float32) * (
+        2.0 * math.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (heads, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    each = num_points // num_z_anchors
+    grid = np.tile(grid[:, None, None, None, :],
+                   (1, num_levels, each, num_z_anchors, 1))
+    for i in range(each):
+        grid[:, :, i, :, :] *= i + 1
+    flat = grid.reshape(-1)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == flat.shape, (shape, flat.shape)
+        return jnp.asarray(flat, dtype)
+
+    return init
+
+
+class LearnedPositionalEncoding(nn.Module):
+    """Learned row+col BEV positional map -> (B, H, W, 2*num_feats);
+    channels = [col-embed(x) ; row-embed(y)]."""
+
+    num_feats: int = 40
+    row_num_embed: int = 100
+    col_num_embed: int = 100
+
+    @nn.compact
+    def __call__(self, batch: int):
+        row = nn.Embed(self.row_num_embed, self.num_feats, name="row_embed")(
+            jnp.arange(self.row_num_embed))
+        col = nn.Embed(self.col_num_embed, self.num_feats, name="col_embed")(
+            jnp.arange(self.col_num_embed))
+        x = jnp.broadcast_to(col[None, :, :],
+                             (self.row_num_embed, self.col_num_embed,
+                              self.num_feats))
+        y = jnp.broadcast_to(row[:, None, :],
+                             (self.row_num_embed, self.col_num_embed,
+                              self.num_feats))
+        pos = jnp.concatenate([x, y], -1)
+        return jnp.broadcast_to(pos[None], (batch,) + pos.shape)
+
+
+class DeformableSelfAttention(nn.Module):
+    """BEV-plane (single-level) deformable self-attention, mmcv
+    ``MultiScaleDeformableAttention`` parity with dropout=0."""
+
+    embed_dims: int = 80
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, query_pos, ref_2d, spatial_shape):
+        """query (B,Q,C); ref_2d (B,Q,2) in [0,1]; spatial_shape (H,W)."""
+        B, Q, C = query.shape
+        identity = query
+        value = query  # value excludes positional encoding (mmcv order)
+        q = query + query_pos
+        H, W = spatial_shape
+        heads, L, P = self.num_heads, self.num_levels, self.num_points
+        hd = C // heads
+
+        v = nn.Dense(C, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(B, Q, heads, hd)
+        offsets = nn.Dense(
+            heads * L * P * 2, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_msda_offset_bias_init(heads, L, P),
+            name="sampling_offsets")(q).reshape(B, Q, heads, L, P, 2)
+        attn = nn.Dense(
+            heads * L * P, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights")(q).reshape(B, Q, heads, L * P)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(B, Q, heads, L, P)
+
+        normalizer = jnp.asarray([[W, H]], jnp.float32)  # (x, y)
+        loc = ref_2d[:, :, None, None, None, :] + offsets / normalizer
+        out = multi_scale_deformable_attention(
+            v, [(H, W)], loc, attn)
+        out = nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
+        return out + identity
+
+
+class DepthAwareDeformableAttention(nn.Module):
+    """Inner deformable attention of the spatial cross attention, with
+    depth-distribution modulation (``spatial_cross_attention_depth.py:362-601``)."""
+
+    embed_dims: int = 80
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 8
+    num_z_anchors: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, value, ref_points, spatial_shape,
+                 query_depth_onehot, pred_depth):
+        """Args:
+          query: (B', Q, C)  where B' folds (batch, camera).
+          value: (B', V, C) flattened camera features.
+          ref_points: (B', Q, Z, 2) normalised image coords per z-anchor.
+          spatial_shape: (H, W) of the camera feature map.
+          query_depth_onehot: (B', Q, Z, DC) one-hot depth bin per anchor.
+          pred_depth: (B', V, DC) per-pixel predicted depth distribution.
+
+        Returns: (B', Q, C).
+        """
+        Bp, Q, C = query.shape
+        heads, L, P, Z = (self.num_heads, self.num_levels, self.num_points,
+                          self.num_z_anchors)
+        hd = C // heads
+        H, W = spatial_shape
+        each = P // Z
+
+        v = nn.Dense(C, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(Bp, -1, heads, hd)
+        offsets = nn.Dense(
+            heads * L * P * 2, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_msda_offset_bias_init(heads, L, P, Z),
+            name="sampling_offsets")(query).reshape(Bp, Q, heads, L, P, 2)
+        attn = nn.Dense(
+            heads * L * P, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights")(query).reshape(Bp, Q, heads, L * P)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(Bp, Q, heads, L, P)
+
+        normalizer = jnp.asarray([[W, H]], jnp.float32)
+        # offsets (..., L, each, Z, 2) + ref (B,Q,1,1,1,Z,2)
+        off = offsets.reshape(Bp, Q, heads, L, each, Z, 2) / normalizer
+        loc = ref_points[:, :, None, None, None, :, :] + off
+        loc = loc.reshape(Bp, Q, heads, L, P, 2)
+
+        # --- depth modulation (f32): sample the predicted depth
+        # distribution at each z-anchor's reference point, dot with the
+        # query's depth-bin one-hot -> scalar weight per (query, anchor).
+        depth_at_ref = msda_sample(
+            pred_depth[:, :, None, :].astype(jnp.float32), (H, W),
+            ref_points[:, :, None, :, :],  # (B', Q, 1 head, Z pts, 2)
+        )[:, :, 0]  # (B', Q, Z, DC)
+        depth_w = jnp.sum(depth_at_ref * query_depth_onehot, -1)  # (B',Q,Z)
+        # tile over per-anchor points in (each, Z) order to match `loc`
+        depth_w = jnp.tile(depth_w[:, :, None, :], (1, 1, each, 1))
+        depth_w = depth_w.reshape(Bp, Q, P)
+        attn = attn * depth_w[:, :, None, None, :]
+
+        out = multi_scale_deformable_attention(v, [(H, W)], loc, attn)
+        return out  # no output_proj here (it lives in the outer SCA)
+
+
+class DepthAwareSpatialCrossAttention(nn.Module):
+    """Per-camera BEV->image cross attention, dense-masked over cameras."""
+
+    embed_dims: int = 80
+    num_cams: int = 6
+    dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
+    num_points: int = 8
+    num_z_anchors: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, query_pos, cam_feats, ref_cam, per_cam_mask,
+                 query_depth, pred_depth):
+        """Args:
+          query: (B, Q, C) BEV queries.
+          query_pos: (B, Q, C).
+          cam_feats: (B, N, Hf, Wf, C).
+          ref_cam: (B, N, Q, Z, 2) normalised image coords.
+          per_cam_mask: (B, N, Q, Z) bool visibility.
+          query_depth: (B, N, Q, Z) metric depth of each anchor in cam frame.
+          pred_depth: (B, N, DC, Hf, Wf) predicted depth distribution.
+
+        Returns: (B, Q, C).
+        """
+        B, Q, C = query.shape
+        N = cam_feats.shape[1]
+        Hf, Wf = cam_feats.shape[2], cam_feats.shape[3]
+        DC = pred_depth.shape[2]
+        Z = self.num_z_anchors
+
+        inp_residual = query
+        q = query + query_pos
+
+        lo, _hi, step = self.dbound
+        dbin = jnp.clip(jnp.floor((query_depth - lo) / step), 0, DC - 1)
+        onehot = jax.nn.one_hot(dbin.astype(jnp.int32), DC)
+
+        qd = jnp.broadcast_to(q[:, None], (B, N, Q, C)).reshape(B * N, Q, C)
+        value = cam_feats.reshape(B * N, Hf * Wf, C)
+        ref = ref_cam.reshape(B * N, Q, Z, 2)
+        oh = onehot.reshape(B * N, Q, Z, DC)
+        pd = jnp.transpose(
+            pred_depth.reshape(B * N, DC, Hf * Wf), (0, 2, 1))
+
+        out = DepthAwareDeformableAttention(
+            embed_dims=self.embed_dims, num_points=self.num_points,
+            num_z_anchors=Z, dtype=self.dtype,
+            name="deformable_attention",
+        )(qd, value, ref, (Hf, Wf), oh, pd)
+        out = out.reshape(B, N, Q, C)
+
+        # queries a camera actually sees contribute; average over cameras
+        query_valid = jnp.any(per_cam_mask, axis=-1)  # (B, N, Q)
+        slots = jnp.sum(out * query_valid[..., None], axis=1)
+        count = jnp.maximum(jnp.sum(query_valid, axis=1), 1.0)
+        slots = slots / count[..., None]
+
+        slots = nn.Dense(C, dtype=self.dtype, name="output_proj")(slots)
+        return slots + inp_residual
+
+
+class FFN(nn.Module):
+    embed_dims: int = 80
+    feedforward_channels: int = 320
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.feedforward_channels, dtype=self.dtype,
+                     name="fc1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.embed_dims, dtype=self.dtype, name="fc2")(y)
+        return y + x
+
+
+class BEVFormerEncoderLayer(nn.Module):
+    """Op order: self_attn -> norm -> cross_attn -> norm -> ffn -> norm
+    (config ``fbocc-r50...py:202``)."""
+
+    embed_dims: int = 80
+    feedforward_channels: int = 320
+    num_cams: int = 6
+    dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, bev_pos, ref_2d, bev_hw, cam_feats, ref_cam,
+                 per_cam_mask, query_depth, pred_depth):
+        query = DeformableSelfAttention(
+            embed_dims=self.embed_dims, dtype=self.dtype,
+            name="self_attn")(query, bev_pos, ref_2d, bev_hw)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
+        query = DepthAwareSpatialCrossAttention(
+            embed_dims=self.embed_dims, num_cams=self.num_cams,
+            dbound=self.dbound, dtype=self.dtype, name="cross_attn",
+        )(query, bev_pos, cam_feats, ref_cam, per_cam_mask, query_depth,
+          pred_depth)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
+        query = FFN(embed_dims=self.embed_dims,
+                    feedforward_channels=self.feedforward_channels,
+                    dtype=self.dtype, name="ffn")(query)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm3")(query)
+        return query
+
+
+@HEADS.register
+class BackwardProjection(nn.Module):
+    """BEV-query refinement head (config ``fbocc-r50...py:155-213``)."""
+
+    bev_h: int = 100
+    bev_w: int = 100
+    embed_dims: int = 80
+    num_layers: int = 1
+    feedforward_channels: int = 320
+    pc_range: Sequence[float] = (-40, -40, -1.0, 40, 40, 5.4)
+    grid_config: dict = None  # bevformer grid (x, y, z) bounds
+    input_size: Tuple[int, int] = (256, 704)
+    pos_num_feats: int = 40
+    dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cam_feats, lss_bev, cam: geometry.CamParams,
+                 pred_depth, train: bool = False):
+        """Args:
+          cam_feats: (B, N, Hf, Wf, C) image features (single level).
+          lss_bev: (B, H, W, C) z-collapsed LSS BEV (query seed).
+          cam: camera parameters.
+          pred_depth: (B, N, DC, Hf, Wf).
+
+        Returns: (B, H, W, C) refined BEV.
+        """
+        B, N = cam_feats.shape[:2]
+        H, W, C = self.bev_h, self.bev_w, self.embed_dims
+        Q = H * W
+
+        gc = self.grid_config or {
+            "x": (self.pc_range[0], self.pc_range[3],
+                  (self.pc_range[3] - self.pc_range[0]) / self.bev_w),
+            "y": (self.pc_range[1], self.pc_range[4],
+                  (self.pc_range[4] - self.pc_range[1]) / self.bev_h),
+            "z": (self.pc_range[2], self.pc_range[5], 1.6),
+        }
+        ref3d = geometry.bev_reference_points_3d(
+            tuple(gc["x"]), tuple(gc["y"]), tuple(gc["z"]))
+        assert ref3d.shape[:2] == (H, W), (
+            f"bevformer grid {ref3d.shape[:2]} != bev ({H}, {W})")
+        Z = ref3d.shape[2]
+        ref3d_flat = jnp.asarray(ref3d.reshape(Q * Z, 3))
+        uv, mask, depth = geometry.ego_to_cam_pixels(
+            ref3d_flat, cam, self.input_size)
+        ref_cam = uv.reshape(B, N, Q, Z, 2)
+        per_cam_mask = mask.reshape(B, N, Q, Z)
+        query_depth = depth.reshape(B, N, Q, Z)
+
+        ref_2d = jnp.asarray(geometry.bev_reference_points_2d(H, W))
+        ref_2d = jnp.broadcast_to(ref_2d[None], (B, Q, 2))
+
+        bev_embedding = self.param(
+            "bev_embedding", nn.initializers.normal(1.0), (Q, C))
+        query = bev_embedding[None] + lss_bev.reshape(B, Q, C)
+        bev_pos = LearnedPositionalEncoding(
+            num_feats=self.pos_num_feats, row_num_embed=H, col_num_embed=W,
+            name="positional_encoding")(B).reshape(B, Q, 2 * self.pos_num_feats)
+
+        for i in range(self.num_layers):
+            query = BEVFormerEncoderLayer(
+                embed_dims=C,
+                feedforward_channels=self.feedforward_channels,
+                num_cams=N, dbound=self.dbound, dtype=self.dtype,
+                name=f"layer{i}",
+            )(query, bev_pos, ref_2d, (H, W), cam_feats, ref_cam,
+              per_cam_mask, query_depth, pred_depth)
+
+        return query.reshape(B, H, W, C)

@@ -1,0 +1,287 @@
+"""FBOCC detector: the full forward-backward BEV occupancy pipeline.
+
+Parity reference: ``FBOCC``
+(``/root/reference/mmdet3d/models/fbbev/detectors/fbocc.py:44-606``).
+
+TPU-native redesign of the statefulness: the reference keeps the temporal
+history as *mutable module attributes* (``history_bev/seq_ids/sweep_time/
+forward_augs``, :128-133) updated in-place each call.  Here the history is
+an explicit :class:`TemporalState` carried through the (jitted, purely
+functional) step: ``(params, state, batch) -> (outputs, new_state)`` --
+scan-friendly, checkpointable, shardable.
+
+Pipeline per frame (cf. ``extract_img_bev_feat``, :322-376):
+  image encoder (ResNet+FPN) -> camera-aware DepthNet -> LSS forward
+  projection (voxel pool) -> BEVFormer backward projection (depth-aware
+  deformable attention) -> readd fuse -> SoloFusion 16-frame temporal
+  fusion (ego-warped ring buffer) -> 3D BEV encoder -> occupancy head.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fbbev_tpu import geometry
+from fbbev_tpu.models import depth_net as depth_net_lib
+from fbbev_tpu.models.bevformer import BackwardProjection
+from fbbev_tpu.models.depth_net import CM_DepthNet
+from fbbev_tpu.models.fpn import CustomFPN
+from fbbev_tpu.models.fpn3d import FPN3D
+from fbbev_tpu.models.layers import ConvBN
+from fbbev_tpu.models.lss import LSSViewTransformer3D
+from fbbev_tpu.models.occ_head import OccHead
+from fbbev_tpu.models.resnet import ResNet
+from fbbev_tpu.models.resnet3d import CustomResNet3D
+from fbbev_tpu.ops.grid_sample import grid_sample_3d
+from fbbev_tpu.registry import DETECTORS
+
+
+class TemporalState(NamedTuple):
+    """SoloFusion history ring buffer, an explicit functional carry."""
+
+    history_bev: jnp.ndarray     # (B, Y, X, Z, T*C), stop-gradient'd
+    sweep_time: jnp.ndarray      # (B, T) frames-ago counters
+    seq_ids: jnp.ndarray         # (B,) scene-stream ids
+    forward_augs: jnp.ndarray    # (B, 4, 4) BDA of the buffered frames
+
+
+def init_temporal_state(batch: int, grid_size: Tuple[int, int, int],
+                        history_cat_num: int = 16,
+                        channels: int = 80) -> TemporalState:
+    nx, ny, nz = grid_size
+    return TemporalState(
+        history_bev=jnp.zeros(
+            (batch, ny, nx, nz, history_cat_num * channels), jnp.float32),
+        sweep_time=jnp.zeros((batch, history_cat_num), jnp.float32),
+        seq_ids=jnp.full((batch,), -1, jnp.int32),
+        forward_augs=jnp.broadcast_to(jnp.eye(4), (batch, 4, 4)),
+    )
+
+
+DEFAULT_GRID_CONFIG = {
+    "x": (-40.0, 40.0, 0.8),
+    "y": (-40.0, 40.0, 0.8),
+    "z": (-1.0, 5.4, 0.8),
+    "depth": (2.0, 42.0, 0.5),
+}
+
+DEFAULT_BEVFORMER_GRID = {
+    "x": (-40.0, 40.0, 0.8),
+    "y": (-40.0, 40.0, 0.8),
+    "z": (-1.0, 5.4, 1.6),
+}
+
+
+@DETECTORS.register
+class FBOCC(nn.Module):
+    """Flagship FB-OCC model (R50, 16-frame, occupancy head)."""
+
+    grid_config: Any = None
+    bevformer_grid_config: Any = None
+    input_size: Tuple[int, int] = (256, 704)
+    downsample: int = 16
+    num_cams: int = 6
+    backbone_depth: int = 50
+    img_feat_channels: int = 256
+    single_bev_num_channels: int = 80
+    depth_channels: int = 80
+    history_cat_num: int = 16
+    history_cat_conv_out_channels: int = 160
+    readd: bool = True
+    num_classes: int = 19
+    use_backward_projection: bool = True
+    use_depth_supervision: bool = True
+    voxel_channels: Tuple[int, ...] = (64, 128, 256)
+    voxel_out_channels: int = 256
+    pc_range: Tuple[float, ...] = (-40, -40, -1.0, 40, 40, 5.4)
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        gc = self.grid_config or DEFAULT_GRID_CONFIG
+        self.img_backbone = ResNet(
+            depth=self.backbone_depth, out_indices=(2, 3), dtype=self.dtype,
+            remat=self.remat, name="img_backbone")
+        self.img_neck = CustomFPN(
+            in_channels=(256 * 4, 512 * 4) if self.backbone_depth >= 50
+            else (256, 512),
+            out_channels=self.img_feat_channels, out_ids=(0,),
+            dtype=self.dtype, name="img_neck")
+        self.depth_net = CM_DepthNet(
+            in_channels=self.img_feat_channels,
+            context_channels=self.single_bev_num_channels,
+            depth_channels=self.depth_channels,
+            downsample=self.downsample,
+            depth_bounds=tuple(gc["depth"]),
+            dtype=self.dtype, name="depth_net")
+        self.forward_projection = LSSViewTransformer3D(
+            grid_config=gc, input_size=self.input_size,
+            downsample=self.downsample)
+        if self.use_backward_projection:
+            self.backward_projection = BackwardProjection(
+                bev_h=int(self.forward_projection.nx[1]),
+                bev_w=int(self.forward_projection.nx[0]),
+                embed_dims=self.single_bev_num_channels,
+                feedforward_channels=self.single_bev_num_channels * 4,
+                pc_range=self.pc_range,
+                grid_config=self.bevformer_grid_config
+                or DEFAULT_BEVFORMER_GRID,
+                input_size=self.input_size,
+                dbound=tuple(gc["depth"]),
+                dtype=self.dtype, name="backward_projection")
+        self.img_bev_encoder_backbone = CustomResNet3D(
+            block_inplanes=tuple(self.voxel_channels),
+            block_strides=(1, 2, 2), out_indices=(0, 1, 2),
+            dtype=self.dtype, remat=self.remat,
+            name="img_bev_encoder_backbone")
+        self.img_bev_encoder_neck = FPN3D(
+            in_channels=tuple(self.voxel_channels),
+            out_channels=self.voxel_out_channels, dtype=self.dtype,
+            name="img_bev_encoder_neck")
+        self.occupancy_head = OccHead(
+            in_channels=(self.voxel_out_channels,) * 3,
+            out_channel=self.num_classes, num_level=3,
+            dtype=self.dtype, name="occupancy_head")
+        # temporal fusion convs (fbocc.py:110-127)
+        self.history_keyframe_time_conv = ConvBN(
+            self.single_bev_num_channels, 1, padding=0, ndim=3,
+            use_bias=True, dtype=self.dtype, name="history_time_conv")
+        self.history_keyframe_cat_conv = ConvBN(
+            self.history_cat_conv_out_channels, 1, padding=0, ndim=3,
+            use_bias=True, dtype=self.dtype, name="history_cat_conv")
+
+    # ------------------------------------------------------------------
+    def image_encoder(self, imgs, train: bool):
+        """(B, N, H, W, 3) -> (B, N, fH, fW, C) single-level features."""
+        B, N, H, W, C = imgs.shape
+        x = imgs.reshape(B * N, H, W, C).astype(self.dtype)
+        feats = self.img_backbone(x, train)
+        x = self.img_neck(feats, train)[0]
+        fh, fw, fc = x.shape[1:]
+        return x.reshape(B, N, fh, fw, fc)
+
+    # ------------------------------------------------------------------
+    def fuse_history(self, curr_bev, state: TemporalState, meta,
+                     bda, do_history=True, train: bool = False):
+        """SoloFusion temporal fusion (``fbocc.py:207-319``), functional.
+
+        Args:
+          curr_bev: (B, Y, X, Z, C) current fused BEV volume (f32).
+          state: previous :class:`TemporalState`.
+          meta: dict with ``start_of_sequence`` (B,) bool,
+            ``sequence_group_idx`` (B,) int32,
+            ``curr_to_prev_ego_rt`` (B, 4, 4).
+          bda: (B, 3, 3) current BEV augmentation.
+          do_history: python or traced bool; when False every sample is
+            treated as a fresh stream (reference resets the buffer by
+            setting ``history_bev=None``, :317-318).
+
+        Returns: (fused (B, Y, X, Z, C_out), new_state, seq_mismatch (B,)).
+        """
+        curr_bev = curr_bev.astype(jnp.float32)
+        B, ny, nx, nz, C = curr_bev.shape
+        T = self.history_cat_num
+        start = meta["start_of_sequence"].astype(bool)
+        if isinstance(do_history, bool):
+            if not do_history:
+                start = jnp.ones_like(start)
+        else:
+            start = jnp.logical_or(start, jnp.logical_not(do_history))
+        # also reset any slot whose state has never been written
+        start = jnp.logical_or(start, state.seq_ids < 0)
+
+        seq_ids = meta["sequence_group_idx"].astype(jnp.int32)
+        forward_augs = geometry.forward_aug_matrix(bda.astype(jnp.float32))
+        curr_to_prev = meta["curr_to_prev_ego_rt"].astype(jnp.float32)
+
+        # sampler contract check (fbocc.py:248): non-start samples must
+        # continue the same stream.  Returned as a diagnostic (asserting
+        # inside jit is not possible).
+        seq_mismatch = jnp.logical_and(
+            jnp.logical_not(start), state.seq_ids != seq_ids)
+
+        s5 = start[:, None, None, None, None]
+        tiled_curr = jnp.tile(curr_bev, (1, 1, 1, 1, T))
+        history_bev = jnp.where(s5, tiled_curr, state.history_bev)
+        history_bev = jax.lax.stop_gradient(history_bev)
+        sweep_time = jnp.where(start[:, None], 0.0, state.sweep_time + 1.0)
+        hist_augs = jnp.where(start[:, None, None], forward_augs,
+                              state.forward_augs)
+
+        fp = self.forward_projection
+        f2b = jnp.asarray(geometry.feat2bev_matrix(fp.dx, fp.bx))
+        grid = geometry.history_flow_grid(
+            hist_augs, forward_augs, curr_to_prev, f2b, (nz, ny, nx))
+        hist_zyx = jnp.transpose(history_bev, (0, 3, 1, 2, 4))
+        sampled = grid_sample_3d(hist_zyx, grid, align_corners=True)
+        sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4))  # (B,Y,X,Z,TC)
+
+        feats_cat = jnp.concatenate([curr_bev, sampled], -1)  # (1+T)*C
+        sweep_cat = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.float32), sweep_time], axis=1)
+
+        # per-keyframe time embedding conv: fold frames into batch
+        frames = feats_cat.reshape(B, ny, nx, nz, T + 1, C)
+        frames = jnp.moveaxis(frames, 4, 1).reshape(
+            B * (T + 1), ny, nx, nz, C)
+        t_emb = (sweep_cat * 0.5).reshape(B * (T + 1), 1, 1, 1, 1)
+        t_emb = jnp.broadcast_to(t_emb, (B * (T + 1), ny, nx, nz, 1))
+        frames = jnp.concatenate([frames, t_emb], -1)
+        frames = self.history_keyframe_time_conv(frames, train)
+        frames = frames.reshape(B, T + 1, ny, nx, nz, C)
+        frames = jnp.moveaxis(frames, 1, 4).reshape(
+            B, ny, nx, nz, (T + 1) * C)
+        fused = self.history_keyframe_cat_conv(frames, train)
+
+        new_state = TemporalState(
+            history_bev=jax.lax.stop_gradient(feats_cat[..., : T * C]),
+            sweep_time=sweep_cat[:, :-1],
+            seq_ids=seq_ids,
+            forward_augs=forward_augs,
+        )
+        return fused, new_state, seq_mismatch
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, Any], state: TemporalState,
+                 train: bool = False,
+                 do_history=True) -> Tuple[Dict[str, Any], TemporalState]:
+        """One frame through the full pipeline.
+
+        ``batch``: imgs (B, N, H, W, 3); cam params (rots/trans/intrins/
+        post_rots/post_trans/bda); temporal meta (start_of_sequence,
+        sequence_group_idx, curr_to_prev_ego_rt).
+        """
+        cam = geometry.CamParams(
+            rots=batch["rots"], trans=batch["trans"],
+            intrins=batch["intrins"], post_rots=batch["post_rots"],
+            post_trans=batch["post_trans"], bda=batch["bda"])
+
+        feats = self.image_encoder(batch["imgs"], train)
+        mlp_input = depth_net_lib.get_mlp_input(cam)
+        context, depth = self.depth_net(feats, mlp_input, train)
+
+        bev_feat = self.forward_projection(cam, context, depth)
+
+        outputs: Dict[str, Any] = {"depth": depth, "context": context}
+        if self.use_backward_projection:
+            lss_bev = jnp.mean(bev_feat, axis=3)  # z-collapse (B, Y, X, C)
+            refined = self.backward_projection(
+                context, lss_bev.astype(self.dtype), cam, depth, train)
+            bev_feat = refined.astype(jnp.float32)[:, :, :, None, :] \
+                + bev_feat
+            outputs["bev_refined"] = refined
+
+        fused, new_state, seq_mismatch = self.fuse_history(
+            bev_feat, state, batch, cam.bda, do_history, train)
+        outputs["seq_mismatch"] = seq_mismatch
+
+        x = self.img_bev_encoder_backbone(fused.astype(jnp.float32), train)
+        voxel_feats = self.img_bev_encoder_neck(x, train)
+        logits = self.occupancy_head(voxel_feats, train)
+        outputs["occ_logits"] = logits  # (B, Y, X, Z, num_classes)
+        return outputs, new_state

@@ -1,0 +1,194 @@
+"""Shared flax building blocks.
+
+Conventions (locked framework-wide):
+* channels-last activations (NHWC / NDHWC) -- the TPU-native layout.
+* parameters are float32; ``dtype`` selects the compute dtype (bf16 for
+  the MXU-heavy paths, f32 for numerically sensitive islands mirroring the
+  reference's ``@force_fp32`` policy, SURVEY.md section 2.5).
+* BatchNorm with momentum 0.9 / eps 1e-5 (torch defaults).  Under ``jit``
+  with a batch-sharded mesh, batch statistics are computed over the global
+  batch by XLA collectives, which reproduces the reference's SyncBN
+  semantics (``tools/train.py:242-244``) with no extra code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv (+ optional BN) (+ optional activation)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, ...]]
+    strides: Union[int, Tuple[int, ...]] = 1
+    padding: Union[str, int, Sequence[Tuple[int, int]]] = "SAME"
+    dilation: Union[int, Tuple[int, ...]] = 1
+    use_bias: bool = False
+    norm: bool = True
+    act: Optional[Callable] = nn.relu
+    dtype: Dtype = jnp.float32
+    ndim: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ks = self.kernel_size
+        if isinstance(ks, int):
+            ks = (ks,) * self.ndim
+        st = self.strides
+        if isinstance(st, int):
+            st = (st,) * self.ndim
+        dl = self.dilation
+        if isinstance(dl, int):
+            dl = (dl,) * self.ndim
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * self.ndim
+        x = nn.Conv(
+            self.features, ks, strides=st, padding=pad,
+            kernel_dilation=dl, use_bias=self.use_bias, dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.norm:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn",
+            )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class BasicBlock2D(nn.Module):
+    """Torch-style ResNet basic block (two 3x3 convs + identity)."""
+
+    features: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = ConvBN(self.features, 3, self.strides, padding=1,
+                   dtype=self.dtype, name="conv1")(x, train)
+        y = ConvBN(self.features, 3, 1, padding=1, act=None,
+                   dtype=self.dtype, name="conv2")(y, train)
+        if self.downsample or residual.shape[-1] != self.features \
+                or self.strides != 1:
+            residual = ConvBN(self.features, 1, self.strides, padding=0,
+                              act=None, dtype=self.dtype,
+                              name="downsample")(x, train)
+        return nn.relu(y + residual)
+
+
+class Bottleneck2D(nn.Module):
+    """Torch-style ResNet bottleneck (1x1 -> 3x3(stride) -> 1x1, expansion 4).
+
+    'pytorch' style: the stride sits on the 3x3 conv
+    (cf. mmdet ResNet ``style='pytorch'``, used by the FB-OCC config).
+    """
+
+    planes: int
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.planes * self.expansion
+        residual = x
+        y = ConvBN(self.planes, 1, 1, padding=0, dtype=self.dtype,
+                   name="conv1")(x, train)
+        y = ConvBN(self.planes, 3, self.strides, padding=1, dtype=self.dtype,
+                   name="conv2")(y, train)
+        y = ConvBN(out_ch, 1, 1, padding=0, act=None, dtype=self.dtype,
+                   name="conv3")(y, train)
+        if x.shape[-1] != out_ch or self.strides != 1:
+            residual = ConvBN(out_ch, 1, self.strides, padding=0, act=None,
+                              dtype=self.dtype, name="downsample")(x, train)
+        return nn.relu(y + residual)
+
+
+class Mlp(nn.Module):
+    """fc -> relu -> fc (dropout omitted: reference config uses drop=0)."""
+
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class SELayer(nn.Module):
+    """Camera-parameter squeeze-excitation gate
+    (cf. depth_net.py:241-255): x * sigmoid(expand(relu(reduce(se))))."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_se):
+        se = nn.Dense(self.channels, dtype=self.dtype, name="reduce")(x_se)
+        se = nn.relu(se)
+        se = nn.Dense(self.channels, dtype=self.dtype, name="expand")(se)
+        gate = nn.sigmoid(se)
+        # x: (B, H, W, C); gate: (B, C)
+        return x * gate[:, None, None, :]
+
+
+def max_pool_same(x, window: int, strides: int):
+    """Torch-style maxpool with SAME-ish padding (k=3, s=2, p=1)."""
+    pad = (window - 1) // 2
+    return nn.max_pool(
+        x, (window, window), strides=(strides, strides),
+        padding=[(pad, pad), (pad, pad)],
+    )
+
+
+def resize_bilinear(x, out_hw, align_corners: bool = False):
+    """2D bilinear resize matching torch ``F.interpolate``.
+
+    jax.image.resize('linear') matches align_corners=False (half-pixel
+    centres); the align_corners=True variant is built from a linspace
+    gather, used where the reference specifies it.
+    """
+    import jax
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    if not align_corners:
+        return jax.image.resize(x, (B, oh, ow, C), method="linear")
+    # align_corners=True: sample positions linspace(0, size-1, out)
+    from fbbev_tpu.ops.grid_sample import grid_sample_2d
+    ys = jnp.linspace(-1.0, 1.0, oh)
+    xs = jnp.linspace(-1.0, 1.0, ow)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    grid = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (B, oh, ow, 2))
+    return grid_sample_2d(x, grid, align_corners=True)
+
+
+def resize_trilinear(x, out_dhw, align_corners: bool = False):
+    """3D trilinear resize for (B, D, H, W, C)."""
+    import jax
+    B = x.shape[0]
+    C = x.shape[-1]
+    od, oh, ow = out_dhw
+    if not align_corners:
+        return jax.image.resize(x, (B, od, oh, ow, C), method="linear")
+    from fbbev_tpu.ops.grid_sample import grid_sample_3d
+    zs = jnp.linspace(-1.0, 1.0, od)
+    ys = jnp.linspace(-1.0, 1.0, oh)
+    xs = jnp.linspace(-1.0, 1.0, ow)
+    gz, gy, gx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    grid = jnp.broadcast_to(
+        jnp.stack([gx, gy, gz], -1)[None], (B, od, oh, ow, 3))
+    return grid_sample_3d(x, grid, align_corners=True)

@@ -1,0 +1,199 @@
+"""Occupancy losses: focal CE, sem/geo scal, lovasz softmax, depth BCE.
+
+Parity references (``/root/reference/mmdet3d/models/fbbev/modules/occ_loss_utils/``):
+
+* focal: ``focal_loss.py:165-310`` (CustomFocalLoss: sigmoid focal over
+  one-hot labels, per-class 1/log(freq) weights x per-voxel BEV distance
+  weight in [1, 2], loss_weight 100, sum over classes then mean over
+  visible voxels)
+* sem/geo scal: ``semkitti.py:78-163`` (-log precision/recall/specificity;
+  sem over classes 1..17, geo vs the free class)
+* lovasz: ``lovasz_softmax.py:157-207`` (classes='present', ignore 255)
+* class frequencies: ``nusc_param.py:14-33``
+
+All losses run in float32 on static shapes: boolean-indexed selections in
+the reference become masked reductions here.  Labels use the fix_void
+convention: 0 = void (weight 0), 1..17 = semantics, 18 = free, 255 = ignore.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Occ3D-nuScenes voxel counts (nusc_param.py:14-33), 18 entries
+# (classes 0..16 + free).
+NUSC_CLASS_FREQUENCIES = np.array([
+    944004, 1897170, 152386, 2391677, 16957802, 724139, 189027, 2074468,
+    413451, 2384460, 5916653, 175883646, 4275424, 51393615, 61411620,
+    105975596, 116424404, 1892500630,
+], np.float64)
+
+NUSC_CLASS_NAMES = [
+    "others", "barrier", "bicycle", "bus", "car", "construction_vehicle",
+    "motorcycle", "pedestrian", "traffic_cone", "trailer", "truck",
+    "driveable_surface", "other_flat", "sidewalk", "terrain", "manmade",
+    "vegetation", "free",
+]
+
+
+def occ_class_weights(num_classes: int = 19) -> np.ndarray:
+    """1/log(freq) class weights; with 19 outputs class 0 (void) gets 0
+    (``occupancy_head.py:117-125``)."""
+    w = 1.0 / np.log(NUSC_CLASS_FREQUENCIES[: num_classes] + 0.001)
+    if num_classes == 19:
+        w = np.concatenate([[0.0], 1.0 / np.log(
+            NUSC_CLASS_FREQUENCIES[:18] + 0.001)])
+    return w.astype(np.float32)
+
+
+def bev_distance_weight(h: int = 200, w: int = 200) -> np.ndarray:
+    """Radial BEV weight in [1, 2] (``focal_loss.py:198-203``)."""
+    yy, xx = np.meshgrid(np.arange(h) - h / 2, np.arange(w) - w / 2,
+                         indexing="ij")
+    c = np.sqrt(xx**2 + yy**2)
+    return (c / c.max() + 1.0).astype(np.float32)
+
+
+def focal_ce_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                  class_weights: jnp.ndarray,
+                  dist_weight: Optional[jnp.ndarray] = None,
+                  gamma: float = 2.0, alpha: float = 0.25,
+                  loss_weight: float = 100.0,
+                  ignore_index: int = 255) -> jnp.ndarray:
+    """Sigmoid focal loss over one-hot voxel labels.
+
+    Args:
+      logits: (B, H, W, D, C).
+      target: (B, H, W, D) int labels.
+      class_weights: (C,).
+      dist_weight: (H, W) radial weight, broadcast over B and D.
+    """
+    B, H, W, D, C = logits.shape
+    logits = logits.astype(jnp.float32)
+    valid = (target != ignore_index)
+    t = jnp.where(valid, target, 0)
+    onehot = jax.nn.one_hot(t, C, dtype=jnp.float32)
+
+    p = jax.nn.sigmoid(logits)
+    pt = (1.0 - p) * onehot + p * (1.0 - onehot)
+    focal_w = (alpha * onehot + (1 - alpha) * (1 - onehot)) * pt ** gamma
+    bce = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    loss = bce * focal_w  # (B,H,W,D,C)
+
+    if dist_weight is None:
+        dist_weight = jnp.ones((H, W), jnp.float32)
+    wmask = class_weights[None, None, None, None, :] * \
+        dist_weight[None, :, :, None, None]
+    loss = jnp.sum(loss * wmask, axis=-1)  # sum over classes
+    loss = jnp.sum(loss * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return loss_weight * loss
+
+
+def _neg_log(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    return -jnp.log(jnp.clip(x, eps, 1.0 - eps))
+
+
+def geo_scal_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                  ignore_index: int = 255,
+                  non_empty_idx: int = 18) -> jnp.ndarray:
+    """Occupied/free precision-recall-specificity loss (semkitti.py:78-105)."""
+    pred = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    empty_probs = pred[..., non_empty_idx]
+    nonempty_probs = 1.0 - empty_probs
+    valid = (target != ignore_index)
+    nonempty_target = ((target != non_empty_idx) & valid).astype(jnp.float32)
+    nonempty_probs = nonempty_probs * valid
+    empty_probs = empty_probs * valid
+    eps = 1e-5
+    inter = jnp.sum(nonempty_target * nonempty_probs)
+    precision = inter / (jnp.sum(nonempty_probs) + eps)
+    recall = inter / (jnp.sum(nonempty_target) + eps)
+    empty_target = (valid & (target == non_empty_idx)).astype(jnp.float32)
+    spec = jnp.sum(empty_target * empty_probs) / (jnp.sum(empty_target) + eps)
+    return _neg_log(precision) + _neg_log(recall) + _neg_log(spec)
+
+
+def sem_scal_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                  ignore_index: int = 255) -> jnp.ndarray:
+    """Per-class precision/recall/specificity loss over classes 1..C-2
+    (semkitti.py:108-163; with 19 classes the loop covers 1..17)."""
+    C = logits.shape[-1]
+    pred = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    valid = (target != ignore_index)
+    validf = valid.astype(jnp.float32)
+    total = jnp.zeros((), jnp.float32)
+    count = jnp.zeros((), jnp.float32)
+    begin = 1 if C == 19 else 0
+    for i in range(begin, C - 1):
+        p = pred[..., i] * validf
+        t = ((target == i) & valid).astype(jnp.float32)
+        present = jnp.sum(t) > 0
+        nominator = jnp.sum(p * t)
+        prec_ok = jnp.sum(p) > 0
+        precision = nominator / (jnp.sum(p) + 1e-5)
+        recall = nominator / (jnp.sum(t) + 1e-5)
+        not_t = validf * (1.0 - t)
+        spec_ok = jnp.sum(not_t) > 0
+        specificity = jnp.sum((validf - p) * not_t) / (jnp.sum(not_t) + 1e-5)
+        loss_class = (
+            jnp.where(prec_ok, _neg_log(precision), 0.0)
+            + _neg_log(recall)
+            + jnp.where(spec_ok, _neg_log(specificity), 0.0)
+        )
+        total = total + jnp.where(present, loss_class, 0.0)
+        count = count + present.astype(jnp.float32)
+    return total / jnp.maximum(count, 1.0)
+
+
+def lovasz_softmax_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                        ignore_index: int = 255) -> jnp.ndarray:
+    """Multi-class Lovasz-softmax with classes='present'
+    (lovasz_softmax.py:157-207), expressed with masked sorts for static
+    shapes: ignored voxels get error 0 / fg 0, which contributes nothing
+    to the Lovasz dot product.
+    """
+    C = logits.shape[-1]
+    probas = jax.nn.softmax(
+        logits.astype(jnp.float32), axis=-1).reshape(-1, C)
+    labels = target.reshape(-1)
+    valid = labels != ignore_index
+
+    total = jnp.zeros((), jnp.float32)
+    count = jnp.zeros((), jnp.float32)
+    for c in range(C):
+        fg = ((labels == c) & valid).astype(jnp.float32)
+        present = jnp.sum(fg) > 0
+        errors = jnp.where(valid, jnp.abs(fg - probas[:, c]), 0.0)
+        order = jnp.argsort(-errors)
+        errors_sorted = errors[order]
+        fg_sorted = fg[order]
+        gts = jnp.sum(fg_sorted)
+        inter = gts - jnp.cumsum(fg_sorted)
+        union = gts + jnp.cumsum(1.0 - fg_sorted)
+        jaccard = 1.0 - inter / union
+        grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+        loss_c = jnp.dot(jnp.maximum(errors_sorted, 0.0), grad)
+        total = total + jnp.where(present, loss_c, 0.0)
+        count = count + present.astype(jnp.float32)
+    return total / jnp.maximum(count, 1.0)
+
+
+def ce_ssc_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                class_weights: jnp.ndarray,
+                ignore_index: int = 255) -> jnp.ndarray:
+    """Weighted cross entropy with ignore label (semkitti.py:166-180);
+    mean weighted by per-sample class weight (torch CrossEntropyLoss
+    'mean' semantics: sum(w_i * nll_i) / sum(w_i))."""
+    C = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    valid = target != ignore_index
+    t = jnp.where(valid, target, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+    w = class_weights[t] * valid
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-6)

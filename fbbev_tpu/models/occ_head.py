@@ -1,0 +1,102 @@
+"""Occupancy prediction head.
+
+Parity reference: ``OccHead``
+(``/root/reference/mmdet3d/models/fbbev/heads/occupancy_head.py:23-266``),
+FB-OCC config (``fbocc-r50...py:231-249``): 3 input levels (256ch),
+deconv3d deblock on level 0 (2x upsample), per-level 3x3x3 convs to 128ch,
+softmax-weighted multi-scale fusion at 200x200x16, 1x1x1 prediction convs
+to 19 classes; losses: focal CE (1/log-freq class weights + radial BEV
+weight), sem_scal, geo_scal, lovasz.
+
+The multi-scale GT mode-pooling branch (``occupancy_head.py:217-228``)
+is a no-op for the shipped config (prediction resolution == GT resolution)
+and is not re-implemented; supervision happens at full resolution.
+
+Layout: voxel features (B, Y, X, Z, C); logits (B, Y, X, Z, num_classes).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fbbev_tpu.models import losses as L
+from fbbev_tpu.models.layers import ConvBN, resize_trilinear
+from fbbev_tpu.registry import HEADS
+
+
+@HEADS.register
+class OccHead(nn.Module):
+    in_channels: Sequence[int] = (256, 256, 256)
+    out_channel: int = 19
+    num_level: int = 3
+    soft_weights: bool = True
+    use_deblock: bool = True
+    final_occ_size: Sequence[int] = (200, 200, 16)
+    empty_idx: int = 18
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxel_feats, train: bool = False):
+        assert len(voxel_feats) == self.num_level
+        mid = self.in_channels[0] // 2
+        outputs = []
+        if self.use_deblock:
+            x0 = nn.ConvTranspose(
+                mid, (2, 2, 2), strides=(2, 2, 2), use_bias=False,
+                dtype=self.dtype, name="deblock_conv")(voxel_feats[0])
+            x0 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, dtype=self.dtype,
+                              name="deblock_bn")(x0)
+            outputs.append(nn.relu(x0))
+        for i in range(self.num_level):
+            outputs.append(
+                ConvBN(mid, 3, padding=1, ndim=3, dtype=self.dtype,
+                       name=f"occ_conv{i}")(voxel_feats[i], train))
+
+        n_feats = len(outputs)
+        if self.soft_weights:
+            w = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
+                       name="soft_weight_conv1")(outputs[0], train)
+            w = nn.Conv(n_feats, (1, 1, 1), use_bias=False,
+                        dtype=self.dtype, name="soft_weight_conv2")(w)
+            w = jax.nn.softmax(w, axis=-1)  # (B, Y, X, Z, n_feats)
+        else:
+            w = jnp.full(outputs[0].shape[:4] + (n_feats,), 1.0 / n_feats)
+
+        target_size = outputs[0].shape[1:4]
+        fused = jnp.zeros(outputs[0].shape[:1] + target_size + (mid,),
+                          self.dtype)
+        for i, feats in enumerate(outputs):
+            if feats.shape[1:4] != target_size:
+                feats = resize_trilinear(feats, target_size,
+                                         align_corners=False)
+            fused = fused + feats * w[..., i:i + 1]
+
+        y = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
+                   name="pred_conv1")(fused, train)
+        logits = nn.Conv(self.out_channel, (1, 1, 1), use_bias=False,
+                         dtype=self.dtype, name="pred_conv2")(y)
+        return logits.astype(jnp.float32)
+
+
+def occ_losses(logits: jnp.ndarray, target: jnp.ndarray,
+               class_weights: jnp.ndarray, dist_weight: jnp.ndarray,
+               empty_idx: int = 18, use_focal: bool = True):
+    """The four voxel losses (``occupancy_head.py:213-257``), tag c_0."""
+    logits = jnp.nan_to_num(logits, nan=0.0, posinf=0.0, neginf=0.0)
+    out = {}
+    if use_focal:
+        out["loss_voxel_ce_c_0"] = L.focal_ce_loss(
+            logits, target, class_weights, dist_weight)
+    else:
+        out["loss_voxel_ce_c_0"] = L.ce_ssc_loss(
+            logits, target, class_weights)
+    out["loss_voxel_sem_scal_c_0"] = L.sem_scal_loss(logits, target)
+    out["loss_voxel_geo_scal_c_0"] = L.geo_scal_loss(
+        logits, target, non_empty_idx=empty_idx)
+    out["loss_voxel_lovasz_c_0"] = L.lovasz_softmax_loss(logits, target)
+    return out

@@ -1,0 +1,157 @@
+"""Loss parity vs numpy oracles that use real boolean filtering (the
+reference's dynamic-shape behaviour), validating our masked static-shape
+formulations."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fbbev_tpu.models import losses as L
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def make_case(rng, C=19, shape=(1, 6, 6, 4)):
+    logits = rng.randn(*shape, C).astype(np.float32) * 2
+    target = rng.randint(0, C, size=shape)
+    ignore = rng.rand(*shape) < 0.2
+    target = np.where(ignore, 255, target)
+    return logits, target
+
+
+def np_geo_scal(logits, target, non_empty_idx=18):
+    pred = _softmax(logits)
+    empty = pred[..., non_empty_idx].ravel()
+    nonempty = 1 - empty
+    t = target.ravel()
+    m = t != 255
+    nonempty_t = (t != non_empty_idx)[m].astype(np.float32)
+    nonempty_p, empty_p = nonempty[m], empty[m]
+    eps = 1e-5
+    inter = (nonempty_t * nonempty_p).sum()
+    precision = inter / (nonempty_p.sum() + eps)
+    recall = inter / (nonempty_t.sum() + eps)
+    spec = ((1 - nonempty_t) * empty_p).sum() / ((1 - nonempty_t).sum() + eps)
+
+    def nl(x):
+        return -np.log(np.clip(x, 1e-5, 1 - 1e-5))
+    return nl(precision) + nl(recall) + nl(spec)
+
+
+def np_sem_scal(logits, target):
+    C = logits.shape[-1]
+    pred = _softmax(logits).reshape(-1, C)
+    t = target.ravel()
+    m = t != 255
+    loss, count = 0.0, 0
+    begin = 1 if C == 19 else 0
+
+    def nl(x):
+        return -np.log(np.clip(x, 1e-5, 1 - 1e-5))
+    for i in range(begin, C - 1):
+        p = pred[m, i]
+        ct = (t[m] == i).astype(np.float32)
+        if ct.sum() > 0:
+            count += 1
+            nom = (p * ct).sum()
+            lc = 0.0
+            if p.sum() > 0:
+                lc += nl(nom / (p.sum() + 1e-5))
+            lc += nl(nom / (ct.sum() + 1e-5))
+            if (1 - ct).sum() > 0:
+                lc += nl(((1 - p) * (1 - ct)).sum() / ((1 - ct).sum() + 1e-5))
+            loss += lc
+    return loss / count
+
+
+def np_lovasz(logits, target):
+    C = logits.shape[-1]
+    pred = _softmax(logits).reshape(-1, C)
+    t = target.ravel()
+    m = t != 255
+    pred, t = pred[m], t[m]
+    losses = []
+    for c in range(C):
+        fg = (t == c).astype(np.float64)
+        if fg.sum() == 0:
+            continue
+        errors = np.abs(fg - pred[:, c])
+        order = np.argsort(-errors, kind="stable")
+        es, fs = errors[order], fg[order]
+        gts = fs.sum()
+        inter = gts - np.cumsum(fs)
+        union = gts + np.cumsum(1 - fs)
+        jac = 1 - inter / union
+        jac[1:] = jac[1:] - jac[:-1]
+        losses.append((np.maximum(es, 0) * jac).sum())
+    return np.mean(losses)
+
+
+def np_focal(logits, target, cw, dist, gamma=2.0, alpha=0.25, lw=100.0):
+    B, H, W, D, C = logits.shape
+    m = (target != 255).ravel()
+    lg = logits.reshape(-1, C)[m]
+    t = target.ravel()[m]
+    onehot = np.eye(C)[t]
+    p = 1 / (1 + np.exp(-lg))
+    pt = (1 - p) * onehot + p * (1 - onehot)
+    fw = (alpha * onehot + (1 - alpha) * (1 - onehot)) * pt**gamma
+    bce = np.maximum(lg, 0) - lg * onehot + np.log1p(np.exp(-np.abs(lg)))
+    dvox = np.broadcast_to(dist[None, :, :, None], (B, H, W, D)).ravel()[m]
+    wmask = cw[None, :] * dvox[:, None]
+    return lw * (bce * fw * wmask).sum(-1).mean()
+
+
+def test_geo_scal(rng):
+    logits, target = make_case(rng)
+    ours = float(L.geo_scal_loss(jnp.asarray(logits), jnp.asarray(target)))
+    np.testing.assert_allclose(ours, np_geo_scal(logits, target), rtol=1e-4)
+
+
+def test_sem_scal(rng):
+    logits, target = make_case(rng)
+    ours = float(L.sem_scal_loss(jnp.asarray(logits), jnp.asarray(target)))
+    np.testing.assert_allclose(ours, np_sem_scal(logits, target), rtol=1e-4)
+
+
+def test_lovasz(rng):
+    logits, target = make_case(rng)
+    ours = float(L.lovasz_softmax_loss(jnp.asarray(logits),
+                                       jnp.asarray(target)))
+    np.testing.assert_allclose(ours, np_lovasz(logits, target), rtol=1e-4)
+
+
+def test_focal(rng):
+    logits, target = make_case(rng, shape=(1, 6, 6, 4))
+    cw = L.occ_class_weights(19)
+    dist = L.bev_distance_weight(6, 6)
+    ours = float(L.focal_ce_loss(
+        jnp.asarray(logits), jnp.asarray(target), jnp.asarray(cw),
+        jnp.asarray(dist)))
+    ref = np_focal(logits, target, cw, dist)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_ce_ssc(rng):
+    logits, target = make_case(rng)
+    cw = L.occ_class_weights(19)
+    ours = float(L.ce_ssc_loss(jnp.asarray(logits), jnp.asarray(target),
+                               jnp.asarray(cw)))
+    # torch CrossEntropyLoss oracle
+    import torch
+    import torch.nn.functional as F
+    ref = F.cross_entropy(
+        torch.from_numpy(logits.reshape(-1, 19)),
+        torch.from_numpy(target.reshape(-1)),
+        weight=torch.from_numpy(cw), ignore_index=255).item()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_class_weights_and_distance_map():
+    cw = L.occ_class_weights(19)
+    assert cw.shape == (19,) and cw[0] == 0.0 and (cw[1:] > 0).all()
+    d = L.bev_distance_weight(200, 200)
+    assert d.min() >= 1.0 and abs(d.max() - 2.0) < 1e-5
+    assert d[100, 100] < d[0, 0]

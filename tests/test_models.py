@@ -1,0 +1,172 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fbbev_tpu import geometry
+from fbbev_tpu.models import (
+    BackwardProjection, CM_DepthNet, CustomFPN, CustomResNet3D, FPN3D,
+    FBOCC, OccHead, ResNet)
+from fbbev_tpu.models.depth_net import get_mlp_input
+from fbbev_tpu.models.fbocc import init_temporal_state
+
+
+def _cam(B=1, N=2):
+    intr = np.diag([500.0, 500.0, 1.0]).astype(np.float32)
+    intr[0, 2], intr[1, 2] = 88.0, 32.0
+    return geometry.CamParams(
+        rots=jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        trans=jnp.asarray(np.tile([[0.0, 0.0, 1.5]], (B, N, 1))),
+        intrins=jnp.broadcast_to(jnp.asarray(intr), (B, N, 3, 3)),
+        post_rots=jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        post_trans=jnp.zeros((B, N, 3)),
+        bda=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+    )
+
+
+def _batch(rng, B=1, N=2, H=64, W=176, start=True):
+    cam = _cam(B, N)
+    return dict(
+        imgs=jnp.asarray(rng.randn(B, N, H, W, 3).astype(np.float32)),
+        rots=cam.rots, trans=cam.trans, intrins=cam.intrins,
+        post_rots=cam.post_rots, post_trans=cam.post_trans, bda=cam.bda,
+        start_of_sequence=jnp.full((B,), start, bool),
+        sequence_group_idx=jnp.zeros((B,), jnp.int32),
+        curr_to_prev_ego_rt=jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
+    )
+
+
+def test_resnet50_shapes(rng):
+    m = ResNet(depth=50, out_indices=(2, 3))
+    x = jnp.zeros((1, 64, 176, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert outs[0].shape == (1, 4, 11, 1024)
+    assert outs[1].shape == (1, 2, 6, 2048)
+
+
+def test_fpn_shapes(rng):
+    m = CustomFPN(in_channels=(1024, 2048), out_channels=256, out_ids=(0,))
+    ins = [jnp.zeros((1, 4, 11, 1024)), jnp.zeros((1, 2, 6, 2048))]
+    variables = m.init(jax.random.PRNGKey(0), ins)
+    outs = m.apply(variables, ins)
+    assert len(outs) == 1 and outs[0].shape == (1, 4, 11, 256)
+
+
+def test_mlp_input_layout():
+    cam = _cam(1, 2)
+    v = np.asarray(get_mlp_input(cam))
+    assert v.shape == (1, 2, 27)
+    np.testing.assert_allclose(v[0, 0, :4], [500.0, 500.0, 88.0, 32.0])
+    np.testing.assert_allclose(v[0, 0, 15:27].reshape(3, 4)[:, 3],
+                               [0.0, 0.0, 1.5])
+
+
+def test_depth_net(rng):
+    m = CM_DepthNet(in_channels=64, mid_channels=64, context_channels=80,
+                    depth_channels=80)
+    x = jnp.asarray(rng.randn(1, 2, 4, 11, 64).astype(np.float32))
+    mlp = jnp.asarray(rng.randn(1, 2, 27).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x, mlp)
+    ctx, depth = m.apply(variables, x, mlp)
+    assert ctx.shape == (1, 2, 4, 11, 80)
+    assert depth.shape == (1, 2, 80, 4, 11)
+    np.testing.assert_allclose(
+        np.asarray(depth.sum(axis=2)), np.ones((1, 2, 4, 11)), atol=1e-5)
+
+
+def test_backward_projection(rng):
+    B, N, C = 1, 2, 80
+    m = BackwardProjection(bev_h=20, bev_w=20, embed_dims=C,
+                           feedforward_channels=4 * C,
+                           input_size=(64, 176))
+    cam = _cam(B, N)
+    feats = jnp.asarray(rng.randn(B, N, 4, 11, C).astype(np.float32))
+    lss = jnp.asarray(rng.randn(B, 20, 20, C).astype(np.float32))
+    depth = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, N, 80, 4, 11)), axis=2)
+    variables = m.init(jax.random.PRNGKey(0), feats, lss, cam, depth)
+    out = m.apply(variables, feats, lss, cam, depth)
+    assert out.shape == (B, 20, 20, C)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bev_encoder_stack(rng):
+    bb = CustomResNet3D(block_inplanes=(16, 32, 64))
+    x = jnp.asarray(rng.randn(1, 40, 40, 8, 24).astype(np.float32))
+    v1 = bb.init(jax.random.PRNGKey(0), x)
+    outs = bb.apply(v1, x)
+    assert [o.shape for o in outs] == [
+        (1, 40, 40, 8, 16), (1, 20, 20, 4, 32), (1, 10, 10, 2, 64)]
+
+    neck = FPN3D(in_channels=(16, 32, 64), out_channels=32)
+    v2 = neck.init(jax.random.PRNGKey(0), outs)
+    fpn_outs = neck.apply(v2, outs)
+    assert [o.shape[-1] for o in fpn_outs] == [32, 32, 32]
+    assert fpn_outs[0].shape[1:4] == (40, 40, 8)
+
+    head = OccHead(in_channels=(32, 32, 32), out_channel=19)
+    v3 = head.init(jax.random.PRNGKey(0), fpn_outs)
+    logits = head.apply(v3, fpn_outs)
+    assert logits.shape == (1, 80, 80, 16, 19)
+
+
+class TestFBOCC:
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        rng = np.random.RandomState(0)
+        model = FBOCC(input_size=(64, 176), num_cams=2, history_cat_num=4)
+        batch = _batch(rng, B=1, N=2)
+        state = init_temporal_state(1, (100, 100, 8), 4, 80)
+        variables = model.init(jax.random.PRNGKey(0), batch, state)
+        return model, variables, batch, state
+
+    def test_forward_shapes(self, model_and_vars):
+        model, variables, batch, state = model_and_vars
+        out, new_state = model.apply(variables, batch, state)
+        assert out["occ_logits"].shape == (1, 200, 200, 16, 19)
+        assert out["depth"].shape == (1, 2, 80, 4, 11)
+        assert new_state.history_bev.shape == (1, 100, 100, 8, 4 * 80)
+        assert np.isfinite(np.asarray(out["occ_logits"])).all()
+
+    def test_temporal_sweep_times(self, model_and_vars):
+        model, variables, batch, state = model_and_vars
+        _, s1 = model.apply(variables, batch, state)
+        np.testing.assert_array_equal(np.asarray(s1.sweep_time), [[0, 0, 0, 0]])
+        batch2 = dict(batch)
+        batch2["start_of_sequence"] = jnp.zeros((1,), bool)
+        _, s2 = model.apply(variables, batch2, s1)
+        np.testing.assert_array_equal(np.asarray(s2.sweep_time), [[0, 1, 1, 1]])
+        _, s3 = model.apply(variables, batch2, s2)
+        np.testing.assert_array_equal(np.asarray(s3.sweep_time), [[0, 1, 2, 2]])
+
+    def test_seq_mismatch_diagnostic(self, model_and_vars):
+        model, variables, batch, state = model_and_vars
+        _, s1 = model.apply(variables, batch, state)
+        bad = dict(batch)
+        bad["start_of_sequence"] = jnp.zeros((1,), bool)
+        bad["sequence_group_idx"] = jnp.asarray([7], jnp.int32)
+        out, _ = model.apply(variables, bad, s1)
+        assert bool(out["seq_mismatch"][0])
+
+    def test_uninitialised_state_resets(self, model_and_vars):
+        """A fresh all-zeros state with start_of_sequence=False must not
+        blend garbage history (seq_ids < 0 forces a reset)."""
+        model, variables, batch, _ = model_and_vars
+        state = init_temporal_state(1, (100, 100, 8), 4, 80)
+        b = dict(batch)
+        b["start_of_sequence"] = jnp.zeros((1,), bool)
+        out, new_state = model.apply(variables, b, state)
+        assert np.isfinite(np.asarray(out["occ_logits"])).all()
+        assert int(new_state.seq_ids[0]) == 0
+
+    def test_train_mode_mutates_batch_stats(self, model_and_vars):
+        model, variables, batch, state = model_and_vars
+        (out, _), updated = model.apply(
+            variables, batch, state, train=True, mutable=["batch_stats"])
+        flat_before = jax.tree.leaves(variables["batch_stats"])
+        flat_after = jax.tree.leaves(updated["batch_stats"])
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(flat_before, flat_after))
+        assert changed
