@@ -30,7 +30,7 @@ import numpy as np
 
 from fbbev_tpu import geometry
 from fbbev_tpu.ops.deform_attn import (
-    msda_sample, multi_scale_deformable_attention)
+    bilinear_sample_onehot, deformable_sample_attend)
 from fbbev_tpu.registry import HEADS
 
 
@@ -122,8 +122,8 @@ class DeformableSelfAttention(nn.Module):
 
         normalizer = jnp.asarray([[W, H]], jnp.float32)  # (x, y)
         loc = ref_2d[:, :, None, None, None, :] + offsets / normalizer
-        out = multi_scale_deformable_attention(
-            v, [(H, W)], loc, attn)
+        out = deformable_sample_attend(
+            v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0]).astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
         return out + identity
 
@@ -182,17 +182,18 @@ class DepthAwareDeformableAttention(nn.Module):
         # --- depth modulation (f32): sample the predicted depth
         # distribution at each z-anchor's reference point, dot with the
         # query's depth-bin one-hot -> scalar weight per (query, anchor).
-        depth_at_ref = msda_sample(
-            pred_depth[:, :, None, :].astype(jnp.float32), (H, W),
-            ref_points[:, :, None, :, :],  # (B', Q, 1 head, Z pts, 2)
-        )[:, :, 0]  # (B', Q, Z, DC)
+        DC = pred_depth.shape[-1]
+        depth_at_ref = bilinear_sample_onehot(
+            pred_depth.astype(jnp.float32), (H, W),
+            ref_points.reshape(Bp, Q * Z, 2)).reshape(Bp, Q, Z, DC)
         depth_w = jnp.sum(depth_at_ref * query_depth_onehot, -1)  # (B',Q,Z)
         # tile over per-anchor points in (each, Z) order to match `loc`
         depth_w = jnp.tile(depth_w[:, :, None, :], (1, 1, each, 1))
         depth_w = depth_w.reshape(Bp, Q, P)
         attn = attn * depth_w[:, :, None, None, :]
 
-        out = multi_scale_deformable_attention(v, [(H, W)], loc, attn)
+        out = deformable_sample_attend(
+            v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
         return out  # no output_proj here (it lives in the outer SCA)
 
 

@@ -16,9 +16,134 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from fbbev_tpu.ops.grid_sample import grid_sample_2d
+
+
+_CORNERS = ((0, 0), (1, 0), (0, 1), (1, 1))
+
+
+def _bilinear_corners(loc: jnp.ndarray, H: int, W: int):
+    """grid_sample(align_corners=False) corner indices/weights for locs in
+    [0,1].  Returns a list of (idx (..., ), weight (...,)) with idx
+    pre-clipped and weight zeroed outside the map."""
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    out = []
+    for dx, dy in _CORNERS:
+        xi, yi = x0 + dx, y0 + dy
+        w = (1.0 - jnp.abs(x - xi)) * (1.0 - jnp.abs(y - yi))
+        ok = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        out.append((idx, jnp.where(ok, w, 0.0)))
+    return out
+
+
+def bilinear_sample_onehot(value: jnp.ndarray, spatial_shape: Tuple[int, int],
+                           loc: jnp.ndarray,
+                           chunk: int = 8192) -> jnp.ndarray:
+    """Bilinear sampling as a one-hot matmul (MXU) instead of gathers.
+
+    TPU gathers run at a tiny fraction of HBM bandwidth; for small value
+    maps (H*W up to a few thousand) it is ~10x faster to build a sparse
+    interpolation matrix as a dense one-hot (fused compare+multiply) and
+    contract it with the value table on the MXU.
+
+    Args:
+      value: (B, H*W, C).
+      loc: (B, S, 2) in [0, 1], grid_sample align_corners=False semantics.
+      chunk: samples per scan step (bounds the one-hot buffer).
+
+    Returns: (B, S, C), matching :func:`msda_sample` numerics (exactly for
+      f32 values; bf16 values quantise the interpolation weights to bf16).
+    """
+    B, HW, C = value.shape
+    H, W = spatial_shape
+    S = loc.shape[1]
+    pad = (-S) % chunk
+    locp = jnp.pad(loc, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = (S + pad) // chunk
+    corners = _bilinear_corners(locp, H, W)
+    idxs = jnp.stack([c[0] for c in corners], 0).reshape(
+        4, B, n_chunks, chunk).transpose(2, 1, 0, 3)
+    wgts = jnp.stack([c[1] for c in corners], 0).reshape(
+        4, B, n_chunks, chunk).transpose(2, 1, 0, 3)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HW), 2)
+
+    def step(_, sl):
+        idx, w = sl  # (B, 4, chunk)
+        oh = jnp.zeros((B, chunk, HW), value.dtype)
+        for c in range(4):
+            oh = oh + ((iota == idx[:, c][..., None])
+                       * w[:, c][..., None]).astype(value.dtype)
+        return _, jnp.einsum("bsv,bvc->bsc", oh, value)
+
+    _, out = jax.lax.scan(step, 0, (idxs, wgts))
+    out = out.transpose(1, 0, 2, 3).reshape(B, S + pad, C)
+    return out[:, :S]
+
+
+def deformable_sample_attend(value: jnp.ndarray,
+                             spatial_shape: Tuple[int, int],
+                             loc: jnp.ndarray, attn: jnp.ndarray,
+                             chunk_q: int = 128) -> jnp.ndarray:
+    """Fused deformable-attention sampling + weighting, one-hot matmul form.
+
+    Samples the *full* channel vector per point on the MXU, weights by
+    attention, then selects each head's channel slice with a static mask --
+    avoiding both per-head small-row gathers and a (B, Q*P, C) intermediate.
+
+    Args:
+      value: (B, H*W, heads, head_dim).
+      loc: (B, Q, heads, P, 2) in [0, 1].
+      attn: (B, Q, heads, P) attention weights.
+
+    Returns: (B, Q, heads*head_dim).
+    """
+    B, HW, heads, hd = value.shape
+    H, W = spatial_shape
+    Q, P = loc.shape[1], loc.shape[3]
+    C = heads * hd
+    v = value.reshape(B, HW, C)
+    head_mask = jnp.zeros((heads, C), v.dtype)
+    for h in range(heads):
+        head_mask = head_mask.at[h, h * hd:(h + 1) * hd].set(1.0)
+
+    pad = (-Q) % chunk_q
+    locp = jnp.pad(loc, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+    attnp = jnp.pad(attn, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_chunks = (Q + pad) // chunk_q
+    corners = _bilinear_corners(locp, H, W)
+    # (n_chunks, B, 4, chunk_q*heads*P)
+    idxs = jnp.stack([c[0] for c in corners], 0).reshape(
+        4, B, n_chunks, chunk_q * heads * P).transpose(2, 1, 0, 3)
+    wgts = jnp.stack([c[1] for c in corners], 0).reshape(
+        4, B, n_chunks, chunk_q * heads * P).transpose(2, 1, 0, 3)
+    attn_c = attnp.reshape(B, n_chunks, chunk_q, heads, P).transpose(
+        1, 0, 2, 3, 4)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HW), 2)
+
+    def step(_, sl):
+        idx, w, a = sl
+        oh = jnp.zeros((B, chunk_q * heads * P, HW), v.dtype)
+        for c in range(4):
+            oh = oh + ((iota == idx[:, c][..., None])
+                       * w[:, c][..., None]).astype(v.dtype)
+        sampled = jnp.einsum("bsv,bvc->bsc", oh, v).reshape(
+            B, chunk_q, heads, P, C)
+        out = jnp.einsum("bqhpc,bqhp,hc->bqc",
+                         sampled.astype(jnp.float32),
+                         a.astype(jnp.float32),
+                         head_mask.astype(jnp.float32))
+        return _, out
+
+    _, out = jax.lax.scan(step, 0, (idxs, wgts, attn_c))
+    out = out.transpose(1, 0, 2, 3).reshape(B, Q + pad, C)
+    return out[:, :Q]
 
 
 def msda_sample(value: jnp.ndarray, spatial_shape: Tuple[int, int],

@@ -1,0 +1,82 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from fbbev_tpu.models import FBOCC
+from fbbev_tpu.models.fbocc import init_temporal_state
+from fbbev_tpu.train.checkpoint_convert import (
+    convert_fbocc_checkpoint, export_fbocc_checkpoint)
+
+
+def test_deconv3d_parity(rng):
+    """flax ConvTranspose with the converter's weight layout must match
+    torch ConvTranspose3d (validates the deblock mapping)."""
+    import flax.linen as nn
+    import torch.nn as tnn
+
+    Cin, Cout = 4, 3
+    x = rng.randn(1, Cin, 4, 4, 2).astype(np.float32)
+    t = tnn.ConvTranspose3d(Cin, Cout, 2, stride=2, bias=False)
+    with torch.no_grad():
+        ref = t(torch.from_numpy(x)).numpy()
+    from fbbev_tpu.train.checkpoint_convert import _deconv3d
+    m = nn.ConvTranspose(Cout, (2, 2, 2), strides=(2, 2, 2), use_bias=False)
+    kernel = _deconv3d(t.weight.detach().numpy())
+    out = m.apply({"params": {"kernel": jnp.asarray(kernel)}},
+                  jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1))))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 4, 1, 2, 3)), ref, atol=1e-5)
+
+
+def test_fbocc_checkpoint_roundtrip():
+    """export -> convert must reproduce the exact flagship variable tree
+    (names, shapes, values), with no unused torch keys."""
+    model = FBOCC()
+    batch_shapes = dict(
+        imgs=jax.ShapeDtypeStruct((1, 6, 256, 704, 3), jnp.float32),
+        rots=jax.ShapeDtypeStruct((1, 6, 3, 3), jnp.float32),
+        trans=jax.ShapeDtypeStruct((1, 6, 3), jnp.float32),
+        intrins=jax.ShapeDtypeStruct((1, 6, 3, 3), jnp.float32),
+        post_rots=jax.ShapeDtypeStruct((1, 6, 3, 3), jnp.float32),
+        post_trans=jax.ShapeDtypeStruct((1, 6, 3), jnp.float32),
+        bda=jax.ShapeDtypeStruct((1, 3, 3), jnp.float32),
+        start_of_sequence=jax.ShapeDtypeStruct((1,), jnp.bool_),
+        sequence_group_idx=jax.ShapeDtypeStruct((1,), jnp.int32),
+        curr_to_prev_ego_rt=jax.ShapeDtypeStruct((1, 4, 4), jnp.float32),
+    )
+    state = init_temporal_state(1, (100, 100, 8), 16, 80)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch_shapes,
+                            state)
+    r = np.random.RandomState(0)
+    variables = jax.tree.map(
+        lambda s: r.randn(*s.shape).astype(np.float32), shapes)
+
+    sd = export_fbocc_checkpoint(variables)
+    back = convert_fbocc_checkpoint(sd)
+    assert back["unused_keys"] == []
+
+    flat_orig = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    flat_back = dict(jax.tree_util.tree_flatten_with_path(
+        back["params"])[0])
+    orig_keys = {jax.tree_util.keystr(k) for k, _ in flat_orig}
+    back_keys = set(
+        jax.tree_util.keystr(k)
+        for k, _ in jax.tree_util.tree_flatten_with_path(back["params"])[0])
+    missing = orig_keys - back_keys
+    extra = back_keys - orig_keys
+    assert not missing, f"converter misses params: {sorted(missing)[:10]}"
+    assert not extra, f"converter invents params: {sorted(extra)[:10]}"
+    for k, v in flat_orig:
+        np.testing.assert_array_equal(
+            flat_back[k], np.asarray(v),
+            err_msg=jax.tree_util.keystr(k))
+
+    for tree_name in ("batch_stats",):
+        o = dict(jax.tree_util.tree_flatten_with_path(
+            variables[tree_name])[0])
+        bks = dict(jax.tree_util.tree_flatten_with_path(
+            back[tree_name])[0])
+        assert set(map(jax.tree_util.keystr, o)) == set(
+            map(jax.tree_util.keystr, bks))

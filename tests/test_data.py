@@ -1,0 +1,156 @@
+import numpy as np
+import pytest
+
+from fbbev_tpu.data import (
+    EvalGroupStreamSampler, InfiniteGroupStreamSampler, SyntheticClipDataset,
+    collate, compute_sequence_flags)
+from fbbev_tpu.data import transforms as T
+from fbbev_tpu.evaluation import MIoUMetric, occ_pred_to_cvpr_format
+
+
+def test_sequence_flags_split():
+    infos = []
+    for scene in range(2):
+        for t in range(10):
+            infos.append({"prev": [] if t == 0 else ["x"]})
+    flags = compute_sequence_flags(infos, 1)
+    assert flags.tolist() == [0] * 10 + [1] * 10
+    flags2 = compute_sequence_flags(infos, 2)
+    assert flags2.tolist() == [0] * 5 + [1] * 5 + [2] * 5 + [3] * 5
+
+
+def test_stream_sampler_contract():
+    """Every slot must stream one scene contiguously in order."""
+    flags = np.repeat(np.arange(6), 5)  # 6 scenes x 5 frames
+    sampler = InfiniteGroupStreamSampler(flags, batch_size=2, world_size=2,
+                                         rank=0, seed=0)
+    it = iter(sampler)
+    history = [[] for _ in range(2)]
+    for _ in range(12):
+        batch = next(it)
+        for slot, idx in enumerate(batch):
+            history[slot].append(idx)
+    for slot_hist in history:
+        # split by scene: indices within a scene appear consecutively
+        groups = [flags[i] for i in slot_hist]
+        pos = [i % 5 for i in slot_hist]
+        start = 0
+        for k in range(1, len(groups) + 1):
+            if k == len(groups) or groups[k] != groups[k - 1]:
+                assert pos[start:k] == list(range(k - start)), (
+                    slot_hist, groups, pos)
+                start = k
+
+
+def test_stream_sampler_disjoint_across_ranks():
+    flags = np.repeat(np.arange(8), 3)
+    s0 = iter(InfiniteGroupStreamSampler(flags, 2, world_size=2, rank=0))
+    s1 = iter(InfiniteGroupStreamSampler(flags, 2, world_size=2, rank=1))
+    b0 = next(s0)
+    b1 = next(s1)
+    g0 = {flags[i] for i in b0}
+    g1 = {flags[i] for i in b1}
+    assert not (g0 & g1)
+
+
+def test_eval_sampler_covers_everything():
+    flags = np.repeat(np.arange(5), 4)
+    sampler = EvalGroupStreamSampler(flags, batch_size=3, world_size=1)
+    seen = set()
+    for idxs, valid in sampler:
+        for i, v in zip(idxs, valid):
+            if v:
+                seen.add(i)
+    assert seen == set(range(20))
+
+
+def test_synthetic_dataset_schema():
+    ds = SyntheticClipDataset(n_scenes=2, frames_per_scene=3,
+                              input_size=(64, 176), occ_shape=(50, 50, 16))
+    s0 = ds[0]
+    assert s0["imgs"].shape == (6, 64, 176, 3)
+    assert bool(s0["start_of_sequence"])
+    s1 = ds[1]
+    assert not bool(s1["start_of_sequence"])
+    # ego moved forward: curr_to_prev has nonzero translation
+    assert np.abs(s1["curr_to_prev_ego_rt"][:3, 3]).max() > 0.1
+    batch = collate([ds[0], ds[3]])
+    assert batch["imgs"].shape == (2, 6, 64, 176, 3)
+    assert batch["start_of_sequence"].tolist() == [True, True]
+
+
+def test_occ_axes_roundtrip(rng):
+    """GT conversion (CVPR->bevdet) and pred conversion (bevdet->CVPR)
+    must be exact inverses."""
+    occ_cvpr = rng.randint(0, 18, size=(200, 200, 16)).astype(np.int32)
+    bevdet = T.occupancy_to_bevdet_axes(occ_cvpr)
+    # a perfect prediction in bevdet axes (+1 void shift)
+    logits = np.eye(19, dtype=np.float32)[bevdet + 1]
+    back = occ_pred_to_cvpr_format(logits, fix_void=True)
+    np.testing.assert_array_equal(back, occ_cvpr)
+
+
+def test_bda_matrix_and_boxes():
+    m = T.bda_matrix(90.0, 1.0, False, False)
+    np.testing.assert_allclose(m @ np.array([1.0, 0, 0]), [0, 1, 0],
+                               atol=1e-6)
+    boxes = np.array([[1.0, 0, 0, 2, 1, 1, 0.0, 1.0, 0.0]], np.float32)
+    out, rot = T.transform_boxes_bda(boxes, 90.0, 1.0, False, False)
+    np.testing.assert_allclose(out[0, :3], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 6], np.pi / 2, atol=1e-6)
+    np.testing.assert_allclose(out[0, 7:9], [0, 1], atol=1e-6)
+
+
+def test_post_homography_matches_pil(rng):
+    """The accumulated homography must map source-image pixels to their
+    transformed position, matching the PIL op chain."""
+    from PIL import Image
+    W0, H0 = 160, 90
+    src = np.zeros((H0, W0), np.uint8)
+    # a bright dot at a known position
+    px, py = 100, 40
+    src[py - 1:py + 2, px - 1:px + 2] = 255
+    img = Image.fromarray(src)
+    resize = 0.5
+    resize_dims = (int(W0 * resize), int(H0 * resize))
+    crop = (5, 3, 5 + 64, 3 + 32)
+    for flip in (False, True):
+        for rotate in (0.0, 10.0):
+            out = T.apply_image_transform(img, resize_dims, crop, flip,
+                                          rotate)
+            pr, pt = T.update_post_homography(
+                np.eye(2, dtype=np.float32), np.zeros(2, np.float32),
+                resize, crop, flip, rotate)
+            mapped = pr @ np.array([px, py], np.float32) + pt
+            arr = np.asarray(out)
+            ys, xs = np.nonzero(arr > 128)
+            if len(xs) == 0:
+                continue  # dot cropped out for this config
+            centroid = np.array([xs.mean(), ys.mean()])
+            assert np.linalg.norm(centroid - mapped) < 2.0, (
+                flip, rotate, centroid, mapped)
+
+
+def test_depth_rasterization_zbuffer():
+    pts = np.array([
+        [10.0, 5.0, 20.0],
+        [10.2, 5.2, 8.0],   # same pixel, closer -> wins
+        [3.0, 2.0, 50.0],   # beyond depth bound -> dropped
+    ], np.float32)
+    dm = T.points_to_depth_map(pts, 16, 32, (2.0, 42.0, 0.5))
+    assert dm[5, 10] == 8.0
+    assert dm[2, 3] == 0.0
+
+
+def test_miou_metric_perfect_and_known():
+    m = MIoUMetric()
+    gt = np.random.RandomState(0).randint(0, 18, size=(200, 200, 16))
+    m.add_batch(gt, gt, np.ones_like(gt, bool))
+    res = m.count_miou()
+    assert res["Overall"] == 100.0
+    m2 = MIoUMetric()
+    pred = gt.copy()
+    pred[gt == 4] = 5  # all cars misclassified
+    m2.add_batch(pred, gt, np.ones_like(gt, bool))
+    res2 = m2.count_miou()
+    assert res2["car"] == 0.0 and res2["Overall"] < 100.0

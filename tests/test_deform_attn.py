@@ -45,3 +45,34 @@ def test_msda_vs_torch_oracle(rng):
         torch.from_numpy(value), shapes, torch.from_numpy(loc),
         torch.from_numpy(w)).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_bilinear_sample_onehot_matches_gather(rng):
+    import jax.numpy as jnp
+    from fbbev_tpu.ops.deform_attn import bilinear_sample_onehot, msda_sample
+    B, HW, C, S = 3, 6 * 9, 7, 50
+    value = rng.randn(B, HW, C).astype(np.float32)
+    loc = (rng.rand(B, S, 2) * 1.2 - 0.1).astype(np.float32)
+    ours = np.asarray(bilinear_sample_onehot(
+        jnp.asarray(value), (6, 9), jnp.asarray(loc), chunk=16))
+    ref = np.asarray(msda_sample(
+        jnp.asarray(value)[:, :, None, :], (6, 9),
+        jnp.asarray(loc)[:, :, None, None, :]))[:, :, 0, 0]
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_deformable_sample_attend_matches_msda(rng):
+    import jax.numpy as jnp
+    from fbbev_tpu.ops.deform_attn import (
+        deformable_sample_attend, multi_scale_deformable_attention)
+    B, heads, hd, Q, P = 2, 4, 8, 37, 3
+    shapes = [(6, 9)]
+    value = rng.randn(B, 54, heads, hd).astype(np.float32)
+    loc = (rng.rand(B, Q, heads, 1, P, 2) * 1.2 - 0.1).astype(np.float32)
+    w = rng.rand(B, Q, heads, 1, P).astype(np.float32)
+    ours = np.asarray(deformable_sample_attend(
+        jnp.asarray(value), shapes[0], jnp.asarray(loc[:, :, :, 0]),
+        jnp.asarray(w[:, :, :, 0]), chunk_q=8))
+    ref = np.asarray(multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
