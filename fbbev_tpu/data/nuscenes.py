@@ -169,6 +169,7 @@ class NuScenesDataset:
             sample["gt_occupancy"] = occ["gt_occupancy"]
             if not self.is_train:
                 sample["visible_mask"] = occ["visible_mask"]
+                sample["gt_occupancy_cvpr"] = occ["gt_occupancy_cvpr"]
 
         if self.load_depth and "lidar_path" in info:
             sample["gt_depth"] = self._lidar_depth(

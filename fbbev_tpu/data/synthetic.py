@@ -99,7 +99,13 @@ class SyntheticClipDataset:
         occ = np.where(rng.rand(*self.occ_shape) < 0.6, 18, occ)  # mostly free
         mask = rng.rand(*self.occ_shape) < 0.5
         sample["gt_occupancy"] = np.where(mask, occ, 255).astype(np.int32)
-        sample["visible_mask"] = mask
+        # eval-side GT in the CVPR/Occ3D frame (labels 0..17, no void shift)
+        from fbbev_tpu.data.transforms import occupancy_from_bevdet_axes
+        cvpr = occupancy_from_bevdet_axes(sample["gt_occupancy"])
+        cvpr = np.where(cvpr == 255, 17, np.maximum(cvpr - 1, 0))
+        sample["gt_occupancy_cvpr"] = cvpr.astype(np.int32)
+        sample["visible_mask"] = occupancy_from_bevdet_axes(
+            mask.astype(np.int32)).astype(bool)
         if self.with_depth:
             gd = (rng.rand(N, H, W) * 40 + 2).astype(np.float32)
             gd = np.where(rng.rand(N, H, W) < 0.95, 0.0, gd)

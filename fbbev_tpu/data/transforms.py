@@ -155,6 +155,15 @@ def occupancy_to_bevdet_axes(occ: np.ndarray) -> np.ndarray:
     return np.transpose(occ, (1, 2, 0)).copy()
 
 
+def occupancy_from_bevdet_axes(occ: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`occupancy_to_bevdet_axes` (the label-volume analog
+    of the prediction conversion in ``fbocc.py:546-549``)."""
+    occ = np.transpose(occ, (2, 0, 1))
+    occ = np.flip(occ, 1)
+    occ = np.rot90(occ, -1, (1, 2))
+    return np.transpose(occ, (1, 2, 0)).copy()
+
+
 def load_occupancy_gt(occupancy_path: str, scene_name: str,
                       sample_token: str, rotate_bda: float = 0.0,
                       flip_dx: bool = False, flip_dy: bool = False,
@@ -166,8 +175,10 @@ def load_occupancy_gt(occupancy_path: str, scene_name: str,
     data = np.load(path)
     occ = data["semantics"].astype(np.int32)
     visible = data["mask_camera"].astype(bool)
-    return prepare_occupancy_gt(occ, visible, rotate_bda, flip_dx, flip_dy,
-                                ignore_nonvisible, fix_void)
+    out = prepare_occupancy_gt(occ, visible, rotate_bda, flip_dx, flip_dy,
+                               ignore_nonvisible, fix_void)
+    out["gt_occupancy_cvpr"] = occ  # raw Occ3D frame for evaluation
+    return out
 
 
 def prepare_occupancy_gt(occ: np.ndarray, visible: np.ndarray,

@@ -24,15 +24,24 @@ CLASS_NAMES = [
 class MIoUMetric:
     def __init__(self, num_classes: int = 18, use_image_mask: bool = True,
                  min_d: float = -1.0, max_d: float = 100.0,
-                 grid_hw: int = 200, voxel_size: float = 0.4):
+                 bev_extent_m: float = 80.0):
         self.num_classes = num_classes
         self.use_image_mask = use_image_mask
         self.hist = np.zeros((num_classes, num_classes), np.int64)
         self.cnt = 0
-        xx, yy = np.meshgrid(np.arange(grid_hw), np.arange(grid_hw))
-        dist = np.linalg.norm(
-            (np.stack([yy, xx], -1) - grid_hw / 2) * voxel_size, axis=-1)
-        self.distance_gate = (dist <= max_d) & (dist >= min_d)
+        self.min_d, self.max_d = min_d, max_d
+        self.bev_extent_m = bev_extent_m
+        self._gate = {}
+
+    def _distance_gate(self, hw: int) -> np.ndarray:
+        """Radial gate for an hw x hw BEV (reference: 200 cells x 0.4 m)."""
+        if hw not in self._gate:
+            voxel = self.bev_extent_m / hw
+            xx, yy = np.meshgrid(np.arange(hw), np.arange(hw))
+            dist = np.linalg.norm(
+                (np.stack([yy, xx], -1) - hw / 2) * voxel, axis=-1)
+            self._gate[hw] = (dist <= self.max_d) & (dist >= self.min_d)
+        return self._gate[hw]
 
     def add_batch(self, semantics_pred: np.ndarray, semantics_gt: np.ndarray,
                   mask_camera: Optional[np.ndarray] = None):
@@ -40,7 +49,8 @@ class MIoUMetric:
         self.cnt += 1
         if mask_camera is None:
             mask_camera = np.ones(semantics_gt.shape, bool)
-        mask = mask_camera & self.distance_gate[:, :, None]
+        mask = mask_camera & self._distance_gate(
+            semantics_gt.shape[0])[:, :, None]
         gt = semantics_gt[mask]
         pred = semantics_pred[mask]
         k = (gt >= 0) & (gt < self.num_classes)

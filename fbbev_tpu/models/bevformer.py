@@ -198,13 +198,26 @@ class DepthAwareDeformableAttention(nn.Module):
 
 
 class DepthAwareSpatialCrossAttention(nn.Module):
-    """Per-camera BEV->image cross attention, dense-masked over cameras."""
+    """Per-camera BEV->image cross attention.
+
+    Two static-shape strategies replace the reference's dynamic rebatching:
+
+    * dense (``max_queries_per_cam=None``): every camera attends over all
+      Q queries, invalid pairs masked out of the average;
+    * static rebatch: per (sample, camera), the indices of visible queries
+      are compacted (stable argsort of the visibility mask) and padded to a
+      fixed ``max_queries_per_cam`` -- the TRT-export approach
+      (``fbocc_trt.py:42-76``) with a compile-time max_len.  Exact parity
+      with dense as long as the per-camera visible count fits; overflow
+      drops the highest-index queries (flagged in ``overflow``).
+    """
 
     embed_dims: int = 80
     num_cams: int = 6
     dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
     num_points: int = 8
     num_z_anchors: int = 4
+    max_queries_per_cam: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -234,23 +247,49 @@ class DepthAwareSpatialCrossAttention(nn.Module):
         dbin = jnp.clip(jnp.floor((query_depth - lo) / step), 0, DC - 1)
         onehot = jax.nn.one_hot(dbin.astype(jnp.int32), DC)
 
-        qd = jnp.broadcast_to(q[:, None], (B, N, Q, C)).reshape(B * N, Q, C)
         value = cam_feats.reshape(B * N, Hf * Wf, C)
-        ref = ref_cam.reshape(B * N, Q, Z, 2)
-        oh = onehot.reshape(B * N, Q, Z, DC)
         pd = jnp.transpose(
             pred_depth.reshape(B * N, DC, Hf * Wf), (0, 2, 1))
+        query_valid = jnp.any(per_cam_mask, axis=-1)  # (B, N, Q)
 
-        out = DepthAwareDeformableAttention(
+        attention = DepthAwareDeformableAttention(
             embed_dims=self.embed_dims, num_points=self.num_points,
             num_z_anchors=Z, dtype=self.dtype,
-            name="deformable_attention",
-        )(qd, value, ref, (Hf, Wf), oh, pd)
-        out = out.reshape(B, N, Q, C)
+            name="deformable_attention")
 
-        # queries a camera actually sees contribute; average over cameras
-        query_valid = jnp.any(per_cam_mask, axis=-1)  # (B, N, Q)
-        slots = jnp.sum(out * query_valid[..., None], axis=1)
+        K = self.max_queries_per_cam
+        if K is None or K >= Q:
+            qd = jnp.broadcast_to(q[:, None], (B, N, Q, C)).reshape(
+                B * N, Q, C)
+            ref = ref_cam.reshape(B * N, Q, Z, 2)
+            oh = onehot.reshape(B * N, Q, Z, DC)
+            out = attention(qd, value, ref, (Hf, Wf), oh, pd)
+            out = out.reshape(B, N, Q, C)
+            slots = jnp.sum(out * query_valid[..., None], axis=1)
+        else:
+            # compact visible query ids to the front (stable), pad to K
+            order = jnp.argsort(~query_valid, axis=-1, stable=True)
+            idx = order[..., :K]  # (B, N, K)
+            sel_valid = jnp.take_along_axis(query_valid, idx, axis=-1)
+            qd = jnp.take_along_axis(
+                jnp.broadcast_to(q[:, None], (B, N, Q, C)),
+                idx[..., None], axis=2).reshape(B * N, K, C)
+            ref = jnp.take_along_axis(
+                ref_cam, idx[..., None, None], axis=2).reshape(
+                B * N, K, Z, 2)
+            oh = jnp.take_along_axis(
+                onehot, idx[..., None, None], axis=2).reshape(
+                B * N, K, Z, DC)
+            out = attention(qd, value, ref, (Hf, Wf), oh, pd)
+            out = out.reshape(B, N, K, C) * sel_valid[..., None]
+            # scatter-add back to the full query set
+            seg = (jnp.arange(B)[:, None, None] * Q + idx).reshape(-1)
+            slots = jax.ops.segment_sum(
+                out.reshape(B * N * K, C), seg,
+                num_segments=B * Q).reshape(B, Q, C)
+            self.sow("intermediates", "rebatch_overflow",
+                     jnp.sum(jnp.sum(query_valid, -1) > K))
+
         count = jnp.maximum(jnp.sum(query_valid, axis=1), 1.0)
         slots = slots / count[..., None]
 
@@ -280,6 +319,7 @@ class BEVFormerEncoderLayer(nn.Module):
     feedforward_channels: int = 320
     num_cams: int = 6
     dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
+    max_queries_per_cam: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -291,7 +331,9 @@ class BEVFormerEncoderLayer(nn.Module):
         query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
         query = DepthAwareSpatialCrossAttention(
             embed_dims=self.embed_dims, num_cams=self.num_cams,
-            dbound=self.dbound, dtype=self.dtype, name="cross_attn",
+            dbound=self.dbound,
+            max_queries_per_cam=self.max_queries_per_cam,
+            dtype=self.dtype, name="cross_attn",
         )(query, bev_pos, cam_feats, ref_cam, per_cam_mask, query_depth,
           pred_depth)
         query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
@@ -316,6 +358,7 @@ class BackwardProjection(nn.Module):
     input_size: Tuple[int, int] = (256, 704)
     pos_num_feats: int = 40
     dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
+    max_queries_per_cam: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -366,7 +409,9 @@ class BackwardProjection(nn.Module):
             query = BEVFormerEncoderLayer(
                 embed_dims=C,
                 feedforward_channels=self.feedforward_channels,
-                num_cams=N, dbound=self.dbound, dtype=self.dtype,
+                num_cams=N, dbound=self.dbound,
+                max_queries_per_cam=self.max_queries_per_cam,
+                dtype=self.dtype,
                 name=f"layer{i}",
             )(query, bev_pos, ref_2d, (H, W), cam_feats, ref_cam,
               per_cam_mask, query_depth, pred_depth)

@@ -37,7 +37,7 @@ from fbbev_tpu.models.lss import LSSViewTransformer3D
 from fbbev_tpu.models.occ_head import OccHead
 from fbbev_tpu.models.resnet import ResNet
 from fbbev_tpu.models.resnet3d import CustomResNet3D
-from fbbev_tpu.ops.grid_sample import grid_sample_3d
+from fbbev_tpu.ops.grid_sample import grid_sample_3d, grid_sample_3d_tiled
 from fbbev_tpu.registry import DETECTORS
 
 
@@ -96,11 +96,26 @@ class FBOCC(nn.Module):
     num_classes: int = 19
     use_backward_projection: bool = True
     use_depth_supervision: bool = True
+    use_occupancy_head: bool = True
+    # static per-camera rebatch size for backward projection (None = dense)
+    max_queries_per_cam: int = 4096
+    # locality-tiled history warp (docs/PERF.md); plain gather warp if False
+    use_tiled_warp: bool = True
+    # optional FB-BEV detection path (CenterPoint head on the z-collapsed
+    # BEV; pts_bbox_head=None in the shipped FB-OCC config)
+    use_detection_head: bool = False
     voxel_channels: Tuple[int, ...] = (64, 128, 256)
     voxel_out_channels: int = 256
     pc_range: Tuple[float, ...] = (-40, -40, -1.0, 40, 40, 5.4)
     dtype: Any = jnp.float32
     remat: bool = False
+
+    def make_forward_projection(self) -> LSSViewTransformer3D:
+        """Parameter-free LSS transformer; safe to build outside apply()
+        (serving / trainer need its grid metadata)."""
+        return LSSViewTransformer3D(
+            grid_config=self.grid_config or DEFAULT_GRID_CONFIG,
+            input_size=self.input_size, downsample=self.downsample)
 
     def setup(self):
         gc = self.grid_config or DEFAULT_GRID_CONFIG
@@ -119,9 +134,7 @@ class FBOCC(nn.Module):
             downsample=self.downsample,
             depth_bounds=tuple(gc["depth"]),
             dtype=self.dtype, name="depth_net")
-        self.forward_projection = LSSViewTransformer3D(
-            grid_config=gc, input_size=self.input_size,
-            downsample=self.downsample)
+        self.forward_projection = self.make_forward_projection()
         if self.use_backward_projection:
             self.backward_projection = BackwardProjection(
                 bev_h=int(self.forward_projection.nx[1]),
@@ -133,6 +146,7 @@ class FBOCC(nn.Module):
                 or DEFAULT_BEVFORMER_GRID,
                 input_size=self.input_size,
                 dbound=tuple(gc["depth"]),
+                max_queries_per_cam=self.max_queries_per_cam,
                 dtype=self.dtype, name="backward_projection")
         self.img_bev_encoder_backbone = CustomResNet3D(
             block_inplanes=tuple(self.voxel_channels),
@@ -143,10 +157,16 @@ class FBOCC(nn.Module):
             in_channels=tuple(self.voxel_channels),
             out_channels=self.voxel_out_channels, dtype=self.dtype,
             name="img_bev_encoder_neck")
-        self.occupancy_head = OccHead(
-            in_channels=(self.voxel_out_channels,) * 3,
-            out_channel=self.num_classes, num_level=3,
-            dtype=self.dtype, name="occupancy_head")
+        if self.use_occupancy_head:
+            self.occupancy_head = OccHead(
+                in_channels=(self.voxel_out_channels,) * 3,
+                out_channel=self.num_classes, num_level=3,
+                dtype=self.dtype, name="occupancy_head")
+        if self.use_detection_head:
+            from fbbev_tpu.models.centerpoint_head import CenterHead
+            self.pts_bbox_head = CenterHead(
+                in_channels=self.voxel_out_channels, dtype=self.dtype,
+                name="pts_bbox_head")
         # temporal fusion convs (fbocc.py:110-127)
         self.history_keyframe_time_conv = ConvBN(
             self.single_bev_num_channels, 1, padding=0, ndim=3,
@@ -218,7 +238,14 @@ class FBOCC(nn.Module):
         grid = geometry.history_flow_grid(
             hist_augs, forward_augs, curr_to_prev, f2b, (nz, ny, nx))
         hist_zyx = jnp.transpose(history_bev, (0, 3, 1, 2, 4))
-        sampled = grid_sample_3d(hist_zyx, grid, align_corners=True)
+        if self.use_tiled_warp and ny % 4 == 0 and nx % 4 == 0:
+            # exact trilinear via locality tiling (docs/PERF.md): valid for
+            # the ego-motion warp (rotation bounded by the +-22.5deg BDA
+            # augs and frame-to-frame yaw)
+            sampled = grid_sample_3d_tiled(
+                hist_zyx, grid, align_corners=True, tile=4, slab_xy=8)
+        else:
+            sampled = grid_sample_3d(hist_zyx, grid, align_corners=True)
         sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4))  # (B,Y,X,Z,TC)
 
         feats_cat = jnp.concatenate([curr_bev, sampled], -1)  # (1+T)*C
@@ -282,6 +309,14 @@ class FBOCC(nn.Module):
 
         x = self.img_bev_encoder_backbone(fused.astype(jnp.float32), train)
         voxel_feats = self.img_bev_encoder_neck(x, train)
-        logits = self.occupancy_head(voxel_feats, train)
-        outputs["occ_logits"] = logits  # (B, Y, X, Z, num_classes)
+        if self.use_occupancy_head:
+            logits = self.occupancy_head(voxel_feats, train)
+            outputs["occ_logits"] = logits  # (B, Y, X, Z, num_classes)
+        if self.use_detection_head:
+            # z-collapse by folding Z into channels (design choice for the
+            # 3D pipeline; the reference detection configs use a 2D BEV)
+            v0 = voxel_feats[0]
+            B2, ny2, nx2, nz2, c2 = v0.shape
+            bev2d = v0.reshape(B2, ny2, nx2, nz2 * c2)
+            outputs["det_preds"] = self.pts_bbox_head(bev2d, train)
         return outputs, new_state

@@ -111,6 +111,31 @@ def lss_voxel_pool(coor: jnp.ndarray, depth: jnp.ndarray, feat: jnp.ndarray,
     return jnp.transpose(out, (0, 2, 3, 1, 4))  # (B, Y, X, Z, C)
 
 
+def lss_voxel_pool_precomputed(ranks_bev: jnp.ndarray, depth: jnp.ndarray,
+                               feat: jnp.ndarray,
+                               grid_size: Sequence[int]) -> jnp.ndarray:
+    """Fixed-geometry pooling: ranks precomputed on the host (C++ helper),
+    aligned with the natural (b, n, d, h, w) point order -- the serving
+    analogue of the reference's ``accelerate`` / TRT precompute path
+    (``view_transformer.py:607-611``, ``fbocc_trt.py:36-40``).
+
+    Args:
+      ranks_bev: (P,) int32 voxel rank per frustum point (dump = num_voxels).
+      depth: (B, N, D, fH, fW); feat: (B, N, fH, fW, C).
+
+    Returns: (B, Y, X, Z, C).
+    """
+    B, N, D, fH, fW = depth.shape
+    C = feat.shape[-1]
+    nx, ny, nz = (int(g) for g in grid_size)
+    P = B * N * D * fH * fW
+    num_voxels = B * nz * ny * nx
+    prod = (depth[..., None] * feat[:, :, None]).reshape(P, C)
+    out = jax.ops.segment_sum(prod, ranks_bev, num_segments=num_voxels + 1)
+    out = out[:num_voxels].reshape(B, nz, ny, nx, C)
+    return jnp.transpose(out, (0, 2, 3, 1, 4))
+
+
 def precompute_ranks(coor, grid_lower, grid_interval, grid_size,
                      D: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Host-side / jit-free rank precompute for the fixed-geometry serving

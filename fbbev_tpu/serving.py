@@ -1,0 +1,127 @@
+"""Fixed-rig streaming inference pipeline -- the TPU-native replacement of
+the reference's TensorRT deployment layer (``/root/reference/deployment/``).
+
+The reference exports an ONNX graph with all camera-geometry index math
+hoisted out (``fbocc_trt.py:30-76``) because the rig is fixed at runtime.
+Here the same hoisting happens naturally: the host precomputes the voxel
+ranks for the calibrated rig once (C++ helper), and the jitted step takes
+images + precomputed ranks + the temporal state, producing occupancy
+predictions.  No export step: the serving artifact IS the jitted function
+plus a checkpoint.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fbbev_tpu import geometry
+from fbbev_tpu.models.fbocc import FBOCC, TemporalState, init_temporal_state
+
+
+class FixedRigPipeline:
+    """Streaming 6-camera occupancy inference for one calibrated rig."""
+
+    def __init__(self, model: FBOCC, variables: Dict[str, Any],
+                 cam: geometry.CamParams, use_host_ranks: bool = True):
+        self.model = model
+        self.variables = variables
+        self.cam = jax.tree.map(jnp.asarray, cam)
+        fp = model.make_forward_projection()
+        self.grid = tuple(int(n) for n in fp.nx)
+        B = int(cam.trans.shape[0])
+        self.batch = B
+
+        self.ranks_bev = None
+        if use_host_ranks:
+            coor = np.asarray(geometry.frustum_to_ego(
+                jnp.asarray(fp.frustum), self.cam))
+            P = coor.size // 3
+            from fbbev_tpu.ops import host_lib
+            batch_idx = np.repeat(
+                np.arange(B, dtype=np.int32), P // B)
+            self.ranks_bev = jnp.asarray(host_lib.compute_voxel_ranks(
+                coor.reshape(-1, 3), batch_idx, fp.grid_lower,
+                fp.grid_interval, self.grid, B))
+
+        self._infer = jax.jit(self._infer_impl)
+        self.state = init_temporal_state(
+            B, self.grid, model.history_cat_num,
+            model.single_bev_num_channels)
+
+    # ------------------------------------------------------------------
+    def _infer_impl(self, variables, imgs, meta, state: TemporalState,
+                    ranks_bev):
+        model = self.model
+        cam = self.cam
+
+        def fwd(mdl):
+            feats = mdl.image_encoder(imgs, False)
+            from fbbev_tpu.models import depth_net as dn
+            context, depth = mdl.depth_net(feats, dn.get_mlp_input(cam),
+                                           False)
+            if ranks_bev is not None:
+                from fbbev_tpu.ops.bev_pool import lss_voxel_pool_precomputed
+                bev = lss_voxel_pool_precomputed(
+                    ranks_bev, depth.astype(jnp.float32),
+                    context.astype(jnp.float32), self.grid)
+            else:
+                bev = mdl.forward_projection(cam, context, depth)
+            if mdl.use_backward_projection:
+                lss_bev = jnp.mean(bev, axis=3)
+                refined = mdl.backward_projection(
+                    context, lss_bev.astype(mdl.dtype), cam, depth, False)
+                bev = refined.astype(jnp.float32)[:, :, :, None, :] + bev
+            fused, new_state, _ = mdl.fuse_history(
+                bev, state, meta, cam.bda, True, False)
+            x = mdl.img_bev_encoder_backbone(fused.astype(jnp.float32),
+                                             False)
+            vox = mdl.img_bev_encoder_neck(x, False)
+            logits = mdl.occupancy_head(vox, False)
+            return logits.argmax(-1).astype(jnp.int32), new_state
+
+        return nn_apply(model, variables, fwd)
+
+    # ------------------------------------------------------------------
+    def __call__(self, imgs: np.ndarray, start_of_sequence: bool,
+                 curr_to_prev_ego_rt: Optional[np.ndarray] = None):
+        """One streaming step. imgs: (B, N, H, W, 3) normalised."""
+        B = self.batch
+        meta = dict(
+            start_of_sequence=jnp.full((B,), start_of_sequence, bool),
+            sequence_group_idx=jnp.zeros((B,), jnp.int32),
+            curr_to_prev_ego_rt=jnp.asarray(
+                curr_to_prev_ego_rt if curr_to_prev_ego_rt is not None
+                else np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))),
+        )
+        pred, self.state = self._infer(
+            self.variables, jnp.asarray(imgs), meta, self.state,
+            self.ranks_bev)
+        return pred
+
+    def benchmark(self, iters: int = 20) -> float:
+        """Returns frames/sec for this pipeline on the current chip."""
+        rng = np.random.RandomState(0)
+        H, W = self.model.input_size
+        imgs = [rng.randn(self.batch, self.model.num_cams, H, W, 3)
+                .astype(np.float32) for _ in range(3)]
+        pred = self(imgs[0], True)
+        np.asarray(pred)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            pred = self(imgs[i % 3], False)
+        np.asarray(pred)
+        return self.batch * iters / (time.perf_counter() - t0)
+
+
+def nn_apply(model, variables, fn):
+    """Apply a custom forward over bound module methods."""
+    return model.apply(variables, fn, method=_run_bound)
+
+
+def _run_bound(mdl, fn):
+    return fn(mdl)

@@ -113,11 +113,24 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _losses(self, outputs, batch):
-        logits = outputs["occ_logits"]
-        H, W = logits.shape[1], logits.shape[2]
-        dist_w = jnp.asarray(loss_lib.bev_distance_weight(H, W))
-        losses = occ_losses(logits, batch["gt_occupancy"],
-                            self._class_weights, dist_w)
+        losses = {}
+        if "occ_logits" in outputs and "gt_occupancy" in batch:
+            logits = outputs["occ_logits"]
+            H, W = logits.shape[1], logits.shape[2]
+            dist_w = jnp.asarray(loss_lib.bev_distance_weight(H, W))
+            losses = occ_losses(logits, batch["gt_occupancy"],
+                                self._class_weights, dist_w)
+        if "det_preds" in outputs and "gt_boxes" in batch:
+            from fbbev_tpu.models.centerpoint_head import (
+                NUSCENES_CLASSES, NUSCENES_TASKS, centerpoint_loss,
+                centerpoint_targets)
+            fp = self.model.make_forward_projection()
+            grid = (int(fp.nx[0]), int(fp.nx[1]))
+            targets = centerpoint_targets(
+                batch["gt_boxes"], batch["gt_labels"], NUSCENES_TASKS,
+                NUSCENES_CLASSES, grid,
+                self.model.pc_range, (float(fp.dx[0]), float(fp.dx[1])))
+            losses.update(centerpoint_loss(outputs["det_preds"], targets))
         if self.use_depth_supervision and "gt_depth" in batch:
             gc = self.model.grid_config or DEFAULT_GRID_CONFIG
             losses["loss_depth"] = depth_loss(

@@ -50,3 +50,39 @@ def test_grid_sample_2d_gradients(rng):
 
     g = jax.grad(f)(img)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_grid_sample_3d_tiled_matches_reference(rng):
+    """Tiled sampler must exactly match grid_sample_3d on a rotated+shifted
+    (affine) warp grid, including out-of-volume zero padding."""
+    from fbbev_tpu.ops.grid_sample import grid_sample_3d_tiled
+    B, D, H, W, C = 1, 8, 16, 16, 6
+    vol = jnp.asarray(rng.randn(B, D, H, W, C).astype(np.float32))
+    # affine grid: rotation ~30deg + translation, in normalized coords
+    ang = np.deg2rad(30.0)
+    ca, sa = np.cos(ang), np.sin(ang)
+    ys, xs, zs = np.meshgrid(
+        np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+        np.linspace(-1, 1, D), indexing="ij")
+    gx = ca * xs - sa * ys + 0.12
+    gy = sa * xs + ca * ys - 0.08
+    gz = zs + 0.05
+    grid = np.stack([gx, gy, gz], -1)  # (H, W, D, 3)
+    grid = np.transpose(grid, (2, 0, 1, 3))[None].astype(np.float32)
+    ref = grid_sample_3d(jnp.asarray(vol), jnp.asarray(grid))
+    out = grid_sample_3d_tiled(jnp.asarray(vol), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_grid_sample_3d_tiled_identity(rng):
+    from fbbev_tpu.ops.grid_sample import grid_sample_3d_tiled
+    B, D, H, W, C = 2, 4, 8, 8, 3
+    vol = jnp.asarray(rng.randn(B, D, H, W, C).astype(np.float32))
+    zs, ys, xs = np.meshgrid(
+        np.linspace(-1, 1, D), np.linspace(-1, 1, H),
+        np.linspace(-1, 1, W), indexing="ij")
+    grid = np.broadcast_to(
+        np.stack([xs, ys, zs], -1)[None], (B, D, H, W, 3)).astype(np.float32)
+    out = grid_sample_3d_tiled(jnp.asarray(vol), jnp.asarray(grid),
+                               slab_xy=8, tile=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)

@@ -115,7 +115,10 @@ class TestFBOCC:
     @pytest.fixture(scope="class")
     def model_and_vars(self):
         rng = np.random.RandomState(0)
-        model = FBOCC(input_size=(64, 176), num_cams=2, history_cat_num=4)
+        # plain warp: the tiled path is covered by test_grid_sample and is
+        # slow to compile on CPU at the 100x100 grid
+        model = FBOCC(input_size=(64, 176), num_cams=2, history_cat_num=4,
+                      use_tiled_warp=False)
         batch = _batch(rng, B=1, N=2)
         state = init_temporal_state(1, (100, 100, 8), 4, 80)
         variables = model.init(jax.random.PRNGKey(0), batch, state)
@@ -170,3 +173,30 @@ class TestFBOCC:
             not np.allclose(np.asarray(a), np.asarray(b))
             for a, b in zip(flat_before, flat_after))
         assert changed
+
+
+def test_rebatch_matches_dense(rng):
+    """Static per-camera rebatching must equal the dense masked path when
+    max_queries_per_cam fits every camera's visible count."""
+    from fbbev_tpu.models.bevformer import DepthAwareSpatialCrossAttention
+    B, N, Q, Z, C, DC, Hf, Wf = 1, 2, 36, 4, 16, 10, 4, 6
+    r = np.random.RandomState(0)
+    query = jnp.asarray(r.randn(B, Q, C).astype(np.float32))
+    qpos = jnp.asarray(r.randn(B, Q, C).astype(np.float32))
+    feats = jnp.asarray(r.randn(B, N, Hf, Wf, C).astype(np.float32))
+    ref = jnp.asarray(r.rand(B, N, Q, Z, 2).astype(np.float32))
+    mask = jnp.asarray(r.rand(B, N, Q, Z) < 0.4)
+    qdepth = jnp.asarray((r.rand(B, N, Q, Z) * 40).astype(np.float32))
+    pdepth = jnp.asarray(r.rand(B, N, DC, Hf, Wf).astype(np.float32))
+
+    dense = DepthAwareSpatialCrossAttention(
+        embed_dims=C, num_cams=N, dbound=(2.0, 42.0, 4.0),
+        max_queries_per_cam=None)
+    reb = DepthAwareSpatialCrossAttention(
+        embed_dims=C, num_cams=N, dbound=(2.0, 42.0, 4.0),
+        max_queries_per_cam=Q)  # K == Q: no overflow possible
+    v = dense.init(jax.random.PRNGKey(0), query, qpos, feats, ref, mask,
+                   qdepth, pdepth)
+    a = dense.apply(v, query, qpos, feats, ref, mask, qdepth, pdepth)
+    b = reb.apply(v, query, qpos, feats, ref, mask, qdepth, pdepth)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
