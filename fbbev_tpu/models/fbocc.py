@@ -86,7 +86,9 @@ class FBOCC(nn.Module):
     input_size: Tuple[int, int] = (256, 704)
     downsample: int = 16
     num_cams: int = 6
-    backbone_depth: int = 50
+    backbone_type: str = "ResNet"  # ResNet | VoVNetCP | ConvNeXt
+    backbone_depth: int = 50       # ResNet depth
+    backbone_arch: str = "V-99-eSE"  # VoVNet spec / ConvNeXt arch
     img_feat_channels: int = 256
     single_bev_num_channels: int = 80
     depth_channels: int = 80
@@ -119,12 +121,30 @@ class FBOCC(nn.Module):
 
     def setup(self):
         gc = self.grid_config or DEFAULT_GRID_CONFIG
-        self.img_backbone = ResNet(
-            depth=self.backbone_depth, out_indices=(2, 3), dtype=self.dtype,
-            remat=self.remat, name="img_backbone")
+        if self.backbone_type == "ResNet":
+            self.img_backbone = ResNet(
+                depth=self.backbone_depth, out_indices=(2, 3),
+                dtype=self.dtype, remat=self.remat, name="img_backbone")
+            neck_in = ((256 * 4, 512 * 4) if self.backbone_depth >= 50
+                       else (256, 512))
+        elif self.backbone_type == "VoVNetCP":
+            from fbbev_tpu.models.vovnet import STAGE_SPECS, VoVNetCP
+            self.img_backbone = VoVNetCP(
+                spec_name=self.backbone_arch, out_indices=(2, 3),
+                dtype=self.dtype, remat=self.remat, name="img_backbone")
+            ch = STAGE_SPECS[self.backbone_arch]["stage_out_ch"]
+            neck_in = (ch[2], ch[3])
+        elif self.backbone_type == "ConvNeXt":
+            from fbbev_tpu.models.convnext import SPECS, ConvNeXt
+            self.img_backbone = ConvNeXt(
+                arch=self.backbone_arch, out_indices=(2, 3),
+                dtype=self.dtype, name="img_backbone")
+            dims = SPECS[self.backbone_arch]["dims"]
+            neck_in = (dims[2], dims[3])
+        else:
+            raise KeyError(self.backbone_type)
         self.img_neck = CustomFPN(
-            in_channels=(256 * 4, 512 * 4) if self.backbone_depth >= 50
-            else (256, 512),
+            in_channels=neck_in,
             out_channels=self.img_feat_channels, out_ids=(0,),
             dtype=self.dtype, name="img_neck")
         self.depth_net = CM_DepthNet(

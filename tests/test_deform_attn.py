@@ -76,3 +76,22 @@ def test_deformable_sample_attend_matches_msda(rng):
     ref = np.asarray(multi_scale_deformable_attention(
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pallas_kernel_matches_xla(rng):
+    """Pallas fused sampling kernel (interpret mode on CPU) vs the XLA
+    formulation."""
+    import jax.numpy as jnp
+    from fbbev_tpu.ops.deform_attn import deformable_sample_attend
+    from fbbev_tpu.ops.pallas_deform import pallas_deformable_sample_attend
+    B, heads, hd, Q, P = 2, 4, 8, 24, 4
+    H, W = 6, 9
+    value = rng.randn(B, H * W, heads, hd).astype(np.float32)
+    loc = (rng.rand(B, Q, heads, P, 2) * 1.2 - 0.1).astype(np.float32)
+    w = rng.rand(B, Q, heads, P).astype(np.float32)
+    ref = deformable_sample_attend(
+        jnp.asarray(value), (H, W), jnp.asarray(loc), jnp.asarray(w))
+    out = pallas_deformable_sample_attend(
+        jnp.asarray(value), (H, W), jnp.asarray(loc), jnp.asarray(w),
+        tile_q=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -200,3 +200,23 @@ def test_rebatch_matches_dense(rng):
     a = dense.apply(v, query, qpos, feats, ref, mask, qdepth, pdepth)
     b = reb.apply(v, query, qpos, feats, ref, mask, qdepth, pdepth)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_vovnet_shapes(rng):
+    from fbbev_tpu.models.vovnet import VoVNetCP
+    m = VoVNetCP(spec_name="V-39-eSE", out_indices=(2, 3))
+    x = jnp.zeros((1, 64, 176, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert outs[0].shape == (1, 4, 11, 768)
+    assert outs[1].shape == (1, 2, 6, 1024)
+
+
+def test_convnext_shapes(rng):
+    from fbbev_tpu.models.convnext import ConvNeXt
+    m = ConvNeXt(arch="tiny", out_indices=(2, 3))
+    x = jnp.zeros((1, 64, 176, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert outs[0].shape == (1, 4, 11, 384)
+    assert outs[1].shape == (1, 2, 6, 768)
