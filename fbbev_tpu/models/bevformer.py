@@ -30,7 +30,8 @@ import numpy as np
 
 from fbbev_tpu import geometry
 from fbbev_tpu.ops.deform_attn import (
-    bilinear_sample_onehot, deformable_sample_attend)
+    bilinear_sample_onehot, deformable_sample_attend,
+    deformable_sample_attend_grid_tiled)
 from fbbev_tpu.registry import HEADS
 
 
@@ -122,8 +123,15 @@ class DeformableSelfAttention(nn.Module):
 
         normalizer = jnp.asarray([[W, H]], jnp.float32)  # (x, y)
         loc = ref_2d[:, :, None, None, None, :] + offsets / normalizer
-        out = deformable_sample_attend(
-            v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0]).astype(self.dtype)
+        if Q == H * W and H % 4 == 0 and W % 4 == 0:
+            # queries are the BEV grid itself: locality-tiled sampling
+            # avoids a one-hot over the full 10k-cell table
+            out = deformable_sample_attend_grid_tiled(
+                v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
+        else:
+            out = deformable_sample_attend(
+                v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
+        out = out.astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
         return out + identity
 

@@ -171,6 +171,97 @@ def msda_sample(value: jnp.ndarray, spatial_shape: Tuple[int, int],
     return jnp.transpose(out, (0, 2, 1, 3, 4))
 
 
+def deformable_sample_attend_grid_tiled(
+        value: jnp.ndarray, spatial_shape: Tuple[int, int],
+        loc: jnp.ndarray, attn: jnp.ndarray, tile: int = 4,
+        slab: int = 32) -> jnp.ndarray:
+    """Fused deformable attention where the queries ARE the value grid
+    (BEV self-attention): query q = (qy*W + qx) attends near its own cell.
+
+    Locality tiling (cf. grid_sample_3d_tiled): queries are processed in
+    (tile x tile) blocks; each block's samples are interpolated from a
+    ``slab x slab`` window via a small one-hot matmul instead of a one-hot
+    over the full H*W table (100x smaller for the 100x100 BEV).
+
+    Sampling offsets beyond the slab are clamped to its edge (their
+    bilinear weight is kept) -- exact as long as |offset| stays within
+    ~(slab - tile)/2 - 1 cells of the reference point, which holds by a
+    wide margin for BEVFormer-style learned offsets (init <= 2 cells).
+
+    Args:
+      value: (B, H*W, heads, head_dim), H*W == Q.
+      loc: (B, Q, heads, P, 2) in [0, 1].
+      attn: (B, Q, heads, P).
+
+    Returns: (B, Q, heads*head_dim) float32.
+    """
+    B, HW, heads, hd = value.shape
+    H, W = spatial_shape
+    Q, P = loc.shape[1], loc.shape[3]
+    assert Q == HW and H % tile == 0 and W % tile == 0
+    C = heads * hd
+    K = heads * P
+    Ht, Wt = H // tile, W // tile
+    T = Ht * Wt
+    n_out = tile * tile
+    S = n_out * K  # samples per tile
+    slab = min(slab, ((min(H, W) + 7) // 8) * 8)
+    SL = slab * slab
+
+    corners = _bilinear_corners(loc, H, W)  # idx into H*W, weights
+
+    def to_tiles(a, trailing):
+        a = a.reshape((B, Ht, tile, Wt, tile) + trailing)
+        a = jnp.moveaxis(a, 3, 2)
+        return a.reshape((B, T, n_out) + trailing)
+
+    # slab origin per tile, from the tile's own grid position (static!)
+    ty = jnp.arange(Ht) * tile
+    tx = jnp.arange(Wt) * tile
+    oy = jnp.clip(ty + tile // 2 - slab // 2, 0, max(H - slab, 0))
+    ox = jnp.clip(tx + tile // 2 - slab // 2, 0, max(W - slab, 0))
+    oy_t = jnp.repeat(oy, Wt)  # (T,)
+    ox_t = jnp.tile(ox, Ht)
+
+    # fetch slabs (static offsets per tile -> plain slicing via gather of
+    # static windows; dynamic_slice keeps it simple and fuses well)
+    v2 = value.reshape(B, H, W, C)
+
+    def fetch_b(vol_b):
+        def one(o):
+            return jax.lax.dynamic_slice(
+                vol_b, (o[0], o[1], 0), (slab, slab, C))
+        return jax.vmap(one)(jnp.stack([oy_t, ox_t], -1))
+
+    slabs = jax.vmap(fetch_b)(v2).reshape(B, T, SL, C)
+
+    head_mask = jnp.zeros((K, C), jnp.float32)
+    for h in range(heads):
+        head_mask = head_mask.at[h * P:(h + 1) * P,
+                                 h * hd:(h + 1) * hd].set(1.0)
+
+    oh = jnp.zeros((B, T, S, SL), value.dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, SL), 3)
+    for idx, w in corners:
+        gy = (idx // W).reshape(B, Q, K)
+        gx = (idx % W).reshape(B, Q, K)
+        gy_t = to_tiles(gy, (K,))
+        gx_t = to_tiles(gx, (K,))
+        w_t = to_tiles(w.reshape(B, Q, K) * attn.reshape(B, Q, K), (K,))
+        ly = jnp.clip(gy_t - oy_t[None, :, None, None], 0, slab - 1)
+        lx = jnp.clip(gx_t - ox_t[None, :, None, None], 0, slab - 1)
+        lidx = (ly * slab + lx).reshape(B, T, S)
+        oh = oh + ((iota == lidx[..., None])
+                   * w_t.reshape(B, T, S)[..., None]).astype(value.dtype)
+    sampled = jnp.einsum("btsv,btvc->btsc", oh, slabs).astype(jnp.float32)
+    sampled = sampled.reshape(B, T, n_out, K, C)
+    out = jnp.einsum("btqkc,kc->btqc", sampled, head_mask)
+    # untile back to row-major queries
+    out = out.reshape(B, Ht, Wt, tile, tile, C)
+    out = jnp.moveaxis(out, 2, 3).reshape(B, Q, C)
+    return out
+
+
 def multi_scale_deformable_attention(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],

@@ -95,3 +95,29 @@ def test_pallas_kernel_matches_xla(rng):
         jnp.asarray(value), (H, W), jnp.asarray(loc), jnp.asarray(w),
         tile_q=8, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_grid_tiled_self_attention_matches_dense(rng):
+    """Tiled BEV self-attention sampling vs the dense formulation, with
+    offsets within the slab radius."""
+    import jax.numpy as jnp
+    from fbbev_tpu.ops.deform_attn import (
+        deformable_sample_attend, deformable_sample_attend_grid_tiled)
+    B, heads, hd, P = 2, 4, 8, 4
+    H, W = 16, 16
+    Q = H * W
+    value = rng.randn(B, Q, heads, hd).astype(np.float32)
+    # reference points at the query cells + small offsets (<= 3 cells)
+    ys, xs = np.meshgrid((np.arange(H) + 0.5) / H, (np.arange(W) + 0.5) / W,
+                         indexing="ij")
+    ref = np.stack([xs, ys], -1).reshape(1, Q, 1, 1, 2)
+    off = (rng.rand(B, Q, heads, P, 2) - 0.5) * 6 / np.array([W, H])
+    loc = (ref + off).astype(np.float32)
+    attn = rng.rand(B, Q, heads, P).astype(np.float32)
+    ref_out = deformable_sample_attend(
+        jnp.asarray(value), (H, W), jnp.asarray(loc), jnp.asarray(attn))
+    out = deformable_sample_attend_grid_tiled(
+        jnp.asarray(value), (H, W), jnp.asarray(loc), jnp.asarray(attn),
+        tile=4, slab=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-4)
