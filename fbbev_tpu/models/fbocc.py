@@ -141,6 +141,14 @@ class FBOCC(nn.Module):
                 dtype=self.dtype, name="img_backbone")
             dims = SPECS[self.backbone_arch]["dims"]
             neck_in = (dims[2], dims[3])
+        elif self.backbone_type == "SwinTransformer":
+            from fbbev_tpu.models.swin import SPECS as SWIN_SPECS
+            from fbbev_tpu.models.swin import SwinTransformer
+            self.img_backbone = SwinTransformer(
+                arch=self.backbone_arch, out_indices=(2, 3),
+                dtype=self.dtype, name="img_backbone")
+            e = SWIN_SPECS[self.backbone_arch]["embed"]
+            neck_in = (e * 4, e * 8)
         else:
             raise KeyError(self.backbone_type)
         self.img_neck = CustomFPN(
@@ -258,6 +266,10 @@ class FBOCC(nn.Module):
         grid = geometry.history_flow_grid(
             hist_augs, forward_augs, curr_to_prev, f2b, (nz, ny, nx))
         hist_zyx = jnp.transpose(history_bev, (0, 3, 1, 2, 4))
+        if self.dtype == jnp.bfloat16:
+            # bf16 compute policy extends to the warp (halves slab traffic);
+            # f32 models keep the reference's f32 history math
+            hist_zyx = hist_zyx.astype(jnp.bfloat16)
         if self.use_tiled_warp and ny % 4 == 0 and nx % 4 == 0:
             # exact trilinear via locality tiling (docs/PERF.md): valid for
             # the ego-motion warp (rotation bounded by the +-22.5deg BDA
@@ -266,7 +278,8 @@ class FBOCC(nn.Module):
                 hist_zyx, grid, align_corners=True, tile=4, slab_xy=8)
         else:
             sampled = grid_sample_3d(hist_zyx, grid, align_corners=True)
-        sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4))  # (B,Y,X,Z,TC)
+        sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4)).astype(
+            jnp.float32)  # (B,Y,X,Z,TC)
 
         feats_cat = jnp.concatenate([curr_bev, sampled], -1)  # (1+T)*C
         sweep_cat = jnp.concatenate(

@@ -16,9 +16,113 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+
+class Conv3DZSlab(nn.Module):
+    """3x3x3 (stride 1/2, pad 1) 3D conv decomposed into three z-shifted 2D
+    convs, folding Z into the conv batch.
+
+    XLA's native 3D convolution tiles poorly on TPU for the shallow-Z BEV
+    volumes used here (measured ~2x slower, docs/PERF.md); the 2D
+    decomposition hits the ordinary 2D conv path.  Parameter layout is
+    identical to ``nn.Conv`` (kernel (3, 3, 3, Cin, Cout)) so checkpoints
+    are interchangeable.
+    """
+
+    features: int
+    strides: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, Y, X, Z, Cin = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, Cin, self.features))
+        s = self.strides
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+        Zo = (Z + 2 - 3) // s + 1
+        out = None
+        kern = kernel.astype(self.dtype)
+        xp = xp.astype(self.dtype)
+        for dz in range(3):
+            xs = jax.lax.slice_in_dim(xp, dz, dz + (Zo - 1) * s + 1, s,
+                                      axis=3)
+            x2 = jnp.moveaxis(xs, 3, 1).reshape(B * Zo, Y, X, Cin)
+            y2 = jax.lax.conv_general_dilated(
+                x2, kern[:, :, dz], (s, s), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y2 = jnp.moveaxis(
+                y2.reshape((B, Zo) + y2.shape[1:]), 1, 3)
+            out = y2 if out is None else out + y2
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            out = out + bias.astype(self.dtype)
+        return out
+
+
+class Conv1x1x1Dense(nn.Module):
+    """1x1x1 3D conv as a flattened matmul (XLA's 3-spatial-dim conv path
+    is measurably slower for pointwise convs).  Param layout matches
+    ``nn.Conv`` (kernel (1, 1, 1, Cin, Cout))."""
+
+    features: int
+    strides: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.strides != 1:
+            s = self.strides
+            x = x[:, ::s, ::s, ::s, :]
+        Cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, Cin, self.features))
+        y = jnp.einsum(
+            "...c,co->...o", x.astype(self.dtype),
+            kernel.reshape(Cin, self.features).astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Deconv2x2x2(nn.Module):
+    """ConvTranspose 2x2x2 stride 2 as a matmul + pixel shuffle (each
+    output voxel has exactly one input tap).  Param layout matches
+    ``nn.ConvTranspose`` (kernel (2, 2, 2, Cin, Cout), unflipped)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, Y, X, Z, Cin = x.shape
+        Co = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (2, 2, 2, Cin, Co))
+        # lax.conv_transpose does not flip the kernel; the scatter view
+        # (out[2i+a] += x[i] w[a]) corresponds to the flipped taps
+        wk = jnp.flip(kernel, (0, 1, 2)).reshape(8, Cin, Co)
+        wk = jnp.transpose(wk, (1, 0, 2)).reshape(Cin, 8 * Co)
+        y = x.astype(self.dtype) @ wk.astype(self.dtype)
+        y = y.reshape(B, Y, X, Z, 2, 2, 2, Co)
+        y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+            B, 2 * Y, 2 * X, 2 * Z, Co)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (Co,))
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ConvBN(nn.Module):
@@ -49,11 +153,23 @@ class ConvBN(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * self.ndim
-        x = nn.Conv(
-            self.features, ks, strides=st, padding=pad,
-            kernel_dilation=dl, use_bias=self.use_bias, dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (self.ndim == 3 and ks == (3, 3, 3) and dl == (1, 1, 1)
+                and pad == [(1, 1)] * 3 and st[0] == st[1] == st[2]
+                and st[0] in (1, 2)):
+            x = Conv3DZSlab(self.features, strides=st[0],
+                            use_bias=self.use_bias, dtype=self.dtype,
+                            name="conv")(x)
+        elif (self.ndim == 3 and ks == (1, 1, 1)
+              and st[0] == st[1] == st[2]):
+            x = Conv1x1x1Dense(self.features, strides=st[0],
+                               use_bias=self.use_bias,
+                               dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features, ks, strides=st, padding=pad,
+                kernel_dilation=dl, use_bias=self.use_bias, dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.norm:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from fbbev_tpu.models import losses as L
-from fbbev_tpu.models.layers import ConvBN, resize_trilinear
+from fbbev_tpu.models.layers import (
+    Conv1x1x1Dense, ConvBN, Deconv2x2x2, resize_trilinear)
 from fbbev_tpu.registry import HEADS
 
 
@@ -45,9 +46,8 @@ class OccHead(nn.Module):
         mid = self.in_channels[0] // 2
         outputs = []
         if self.use_deblock:
-            x0 = nn.ConvTranspose(
-                mid, (2, 2, 2), strides=(2, 2, 2), use_bias=False,
-                dtype=self.dtype, name="deblock_conv")(voxel_feats[0])
+            x0 = Deconv2x2x2(mid, use_bias=False, dtype=self.dtype,
+                             name="deblock_conv")(voxel_feats[0])
             x0 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, dtype=self.dtype,
                               name="deblock_bn")(x0)
@@ -61,8 +61,8 @@ class OccHead(nn.Module):
         if self.soft_weights:
             w = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
                        name="soft_weight_conv1")(outputs[0], train)
-            w = nn.Conv(n_feats, (1, 1, 1), use_bias=False,
-                        dtype=self.dtype, name="soft_weight_conv2")(w)
+            w = Conv1x1x1Dense(n_feats, use_bias=False, dtype=self.dtype,
+                               name="soft_weight_conv2")(w)
             w = jax.nn.softmax(w, axis=-1)  # (B, Y, X, Z, n_feats)
         else:
             w = jnp.full(outputs[0].shape[:4] + (n_feats,), 1.0 / n_feats)
@@ -78,8 +78,8 @@ class OccHead(nn.Module):
 
         y = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
                    name="pred_conv1")(fused, train)
-        logits = nn.Conv(self.out_channel, (1, 1, 1), use_bias=False,
-                         dtype=self.dtype, name="pred_conv2")(y)
+        logits = Conv1x1x1Dense(self.out_channel, use_bias=False,
+                                dtype=self.dtype, name="pred_conv2")(y)
         return logits.astype(jnp.float32)
 
 

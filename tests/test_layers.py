@@ -75,3 +75,45 @@ def test_resize_trilinear_vs_torch(rng):
             mode="trilinear", align_corners=ac,
         ).permute(0, 2, 3, 4, 1).numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"ac={ac}")
+
+
+def test_conv3d_zslab_matches_nn_conv(rng):
+    """The z-slab 2D decomposition must match XLA's native 3D conv for
+    stride 1 and stride 2."""
+    import flax.linen as nn
+    from fbbev_tpu.models.layers import Conv3DZSlab
+    for stride in (1, 2):
+        x = jnp.asarray(rng.randn(2, 8, 8, 4, 6).astype(np.float32))
+        ref_m = nn.Conv(5, (3, 3, 3), strides=(stride,) * 3,
+                        padding=[(1, 1)] * 3, use_bias=True)
+        v = ref_m.init(jax.random.PRNGKey(0), x)
+        ref = ref_m.apply(v, x)
+        ours_m = Conv3DZSlab(5, strides=stride, use_bias=True)
+        out = ours_m.apply({"params": dict(v["params"])}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"stride={stride}")
+
+
+def test_conv1x1x1_dense_matches_nn_conv(rng):
+    import flax.linen as nn
+    from fbbev_tpu.models.layers import Conv1x1x1Dense
+    for stride in (1, 2):
+        x = jnp.asarray(rng.randn(2, 8, 8, 4, 6).astype(np.float32))
+        ref_m = nn.Conv(5, (1, 1, 1), strides=(stride,) * 3, use_bias=True)
+        v = ref_m.init(jax.random.PRNGKey(0), x)
+        ref = ref_m.apply(v, x)
+        out = Conv1x1x1Dense(5, strides=stride, use_bias=True).apply(
+            {"params": dict(v["params"])}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"stride={stride}")
+
+
+def test_deconv2x2x2_matches_conv_transpose(rng):
+    import flax.linen as nn
+    from fbbev_tpu.models.layers import Deconv2x2x2
+    x = jnp.asarray(rng.randn(2, 4, 4, 2, 6).astype(np.float32))
+    ref_m = nn.ConvTranspose(5, (2, 2, 2), strides=(2, 2, 2), use_bias=True)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = ref_m.apply(v, x)
+    out = Deconv2x2x2(5, use_bias=True).apply({"params": dict(v["params"])}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -220,3 +220,29 @@ def test_convnext_shapes(rng):
     outs = m.apply(v, x)
     assert outs[0].shape == (1, 4, 11, 384)
     assert outs[1].shape == (1, 2, 6, 768)
+
+
+def test_swin_shapes(rng):
+    from fbbev_tpu.models.swin import SwinTransformer
+    m = SwinTransformer(arch="tiny", out_indices=(2, 3))
+    x = jnp.asarray(rng.randn(1, 64, 176, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert outs[0].shape == (1, 4, 11, 384)
+    assert outs[1].shape == (1, 2, 6, 768)
+    assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_swin_shift_invariance_smoke(rng):
+    """Shifted-window mask: moving content far from window boundaries must
+    not leak attention across disconnected regions (finite + different
+    from unshifted output)."""
+    from fbbev_tpu.models.swin import SwinBlock
+    x = jnp.asarray(rng.randn(1, 14, 14, 32).astype(np.float32))
+    b0 = SwinBlock(32, 4, window=7, shift=0)
+    b1 = SwinBlock(32, 4, window=7, shift=3)
+    v0 = b0.init(jax.random.PRNGKey(0), x)
+    out0 = b0.apply(v0, x)
+    out1 = b1.apply(v0, x)
+    assert np.isfinite(np.asarray(out1)).all()
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
