@@ -141,6 +141,14 @@ class FBOCC(nn.Module):
                 dtype=self.dtype, name="img_backbone")
             dims = SPECS[self.backbone_arch]["dims"]
             neck_in = (dims[2], dims[3])
+        elif self.backbone_type == "DLANet":
+            from fbbev_tpu.models.dla import SPECS as DLA_SPECS
+            from fbbev_tpu.models.dla import DLANet
+            self.img_backbone = DLANet(
+                arch=self.backbone_arch, out_indices=(4, 5),
+                dtype=self.dtype, name="img_backbone")
+            ch = DLA_SPECS[self.backbone_arch]["channels"]
+            neck_in = (ch[4], ch[5])
         elif self.backbone_type == "SwinTransformer":
             from fbbev_tpu.models.swin import SPECS as SWIN_SPECS
             from fbbev_tpu.models.swin import SwinTransformer

@@ -246,3 +246,14 @@ def test_swin_shift_invariance_smoke(rng):
     out1 = b1.apply(v0, x)
     assert np.isfinite(np.asarray(out1)).all()
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_dla_shapes(rng):
+    from fbbev_tpu.models.dla import DLANet
+    m = DLANet(arch="dla34", out_indices=(4, 5))
+    x = jnp.asarray(rng.randn(1, 64, 176, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert outs[0].shape == (1, 4, 11, 256)
+    assert outs[1].shape == (1, 2, 6, 512)
+    assert np.isfinite(np.asarray(outs[0])).all()
