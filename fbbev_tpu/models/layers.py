@@ -13,6 +13,7 @@ Conventions (locked framework-wide):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -20,6 +21,20 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+# escape hatch for debugging TPU-compiler issues with the decomposed conv
+# formulations: comma-separated subset of {zslab,pointwise,deconv} disables
+# that decomposition (falls back to native XLA convs)
+_DISABLED_DECOMP = set(
+    os.environ.get("FBBEV_DISABLE_CONV_DECOMP", "").split(","))
+
+# KNOWN ISSUE (v5e/axon, round 1): combining the z-slab AND pointwise
+# decompositions in one *training* graph crashes the TPU worker during
+# the backward pass (each alone is fine, and the inference graph with all
+# three is fine).  Until root-caused, the pointwise decomposition is used
+# in eval graphs only; training falls back to native 1x1x1 convs.  The
+# parameter layouts are identical, so routing by mode is checkpoint-safe.
+_POINTWISE_EVAL_ONLY = True
 
 
 class Conv3DZSlab(nn.Module):
@@ -153,13 +168,16 @@ class ConvBN(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * self.ndim
-        if (self.ndim == 3 and ks == (3, 3, 3) and dl == (1, 1, 1)
+        if ("zslab" not in _DISABLED_DECOMP
+                and self.ndim == 3 and ks == (3, 3, 3) and dl == (1, 1, 1)
                 and pad == [(1, 1)] * 3 and st[0] == st[1] == st[2]
                 and st[0] in (1, 2)):
             x = Conv3DZSlab(self.features, strides=st[0],
                             use_bias=self.use_bias, dtype=self.dtype,
                             name="conv")(x)
-        elif (self.ndim == 3 and ks == (1, 1, 1)
+        elif ("pointwise" not in _DISABLED_DECOMP
+              and not (train and _POINTWISE_EVAL_ONLY)
+              and self.ndim == 3 and ks == (1, 1, 1)
               and st[0] == st[1] == st[2]):
             x = Conv1x1x1Dense(self.features, strides=st[0],
                                use_bias=self.use_bias,

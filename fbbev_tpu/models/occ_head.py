@@ -46,8 +46,14 @@ class OccHead(nn.Module):
         mid = self.in_channels[0] // 2
         outputs = []
         if self.use_deblock:
-            x0 = Deconv2x2x2(mid, use_bias=False, dtype=self.dtype,
-                             name="deblock_conv")(voxel_feats[0])
+            from fbbev_tpu.models.layers import _DISABLED_DECOMP
+            if "deconv" in _DISABLED_DECOMP:
+                x0 = nn.ConvTranspose(
+                    mid, (2, 2, 2), strides=(2, 2, 2), use_bias=False,
+                    dtype=self.dtype, name="deblock_conv")(voxel_feats[0])
+            else:
+                x0 = Deconv2x2x2(mid, use_bias=False, dtype=self.dtype,
+                                 name="deblock_conv")(voxel_feats[0])
             x0 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                               epsilon=1e-5, dtype=self.dtype,
                               name="deblock_bn")(x0)
@@ -61,8 +67,14 @@ class OccHead(nn.Module):
         if self.soft_weights:
             w = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
                        name="soft_weight_conv1")(outputs[0], train)
-            w = Conv1x1x1Dense(n_feats, use_bias=False, dtype=self.dtype,
-                               name="soft_weight_conv2")(w)
+            from fbbev_tpu.models.layers import (
+                _DISABLED_DECOMP as _DD, _POINTWISE_EVAL_ONLY as _PEO)
+            if "pointwise" in _DD or (train and _PEO):
+                w = nn.Conv(n_feats, (1, 1, 1), use_bias=False,
+                            dtype=self.dtype, name="soft_weight_conv2")(w)
+            else:
+                w = Conv1x1x1Dense(n_feats, use_bias=False, dtype=self.dtype,
+                                   name="soft_weight_conv2")(w)
             w = jax.nn.softmax(w, axis=-1)  # (B, Y, X, Z, n_feats)
         else:
             w = jnp.full(outputs[0].shape[:4] + (n_feats,), 1.0 / n_feats)
@@ -78,8 +90,14 @@ class OccHead(nn.Module):
 
         y = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
                    name="pred_conv1")(fused, train)
-        logits = Conv1x1x1Dense(self.out_channel, use_bias=False,
-                                dtype=self.dtype, name="pred_conv2")(y)
+        from fbbev_tpu.models.layers import (
+            _DISABLED_DECOMP as _DD2, _POINTWISE_EVAL_ONLY as _PEO2)
+        if "pointwise" in _DD2 or (train and _PEO2):
+            logits = nn.Conv(self.out_channel, (1, 1, 1), use_bias=False,
+                             dtype=self.dtype, name="pred_conv2")(y)
+        else:
+            logits = Conv1x1x1Dense(self.out_channel, use_bias=False,
+                                    dtype=self.dtype, name="pred_conv2")(y)
         return logits.astype(jnp.float32)
 
 

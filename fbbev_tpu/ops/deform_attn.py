@@ -205,7 +205,7 @@ def deformable_sample_attend_grid_tiled(
     T = Ht * Wt
     n_out = tile * tile
     S = n_out * K  # samples per tile
-    slab = min(slab, ((min(H, W) + 7) // 8) * 8)
+    slab = min(slab, H, W)
     SL = slab * slab
 
     corners = _bilinear_corners(loc, H, W)  # idx into H*W, weights

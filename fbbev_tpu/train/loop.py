@@ -176,6 +176,11 @@ def evaluate(cfg: Config, state=None, trainer=None,
         batch_size, grid, model.history_cat_num,
         model.single_bev_num_channels)
     metric = MIoUMetric()
+    det_metric = None
+    if model.use_detection_head:
+        from fbbev_tpu.evaluation.det_metrics import DetectionMetric
+        from fbbev_tpu.models.centerpoint_head import NUSCENES_CLASSES
+        det_metric = DetectionMetric(NUSCENES_CLASSES)
     n_done = 0
     for idxs, valid in sampler:
         samples = [dataset[i] for i in idxs]
@@ -184,18 +189,40 @@ def evaluate(cfg: Config, state=None, trainer=None,
               if k not in ("visible_mask",)}
         outputs, tstate = trainer.eval_step(state, tstate, jb,
                                             use_ema=use_ema)
-        logits = np.asarray(outputs["occ_logits"], np.float32)
+        logits = (np.asarray(outputs["occ_logits"], np.float32)
+                  if "occ_logits" in outputs else None)
+        det = None
+        if det_metric is not None and "det_preds" in outputs:
+            from fbbev_tpu.models.centerpoint_head import (
+                NUSCENES_TASKS, centerpoint_decode)
+            fp = model.make_forward_projection()
+            det = []
+            for b in range(batch_size):
+                preds_b = jax.tree.map(
+                    lambda p: p[b:b + 1], outputs["det_preds"])
+                det.append(centerpoint_decode(
+                    preds_b, NUSCENES_TASKS, model.pc_range,
+                    (float(fp.dx[0]), float(fp.dx[1]))))
         for b, ok in enumerate(valid):
             if not ok:
                 continue
-            pred = occ_pred_to_cvpr_format(logits[b])
-            gt = np.asarray(samples[b].get("gt_occupancy_cvpr",
-                                           samples[b].get("gt_occupancy")))
-            vis = samples[b].get("visible_mask")
-            metric.add_batch(pred, gt, vis)
+            if logits is not None:
+                pred = occ_pred_to_cvpr_format(logits[b])
+                gt = np.asarray(samples[b].get(
+                    "gt_occupancy_cvpr", samples[b].get("gt_occupancy")))
+                vis = samples[b].get("visible_mask")
+                metric.add_batch(pred, gt, vis)
+            if det is not None and "gt_boxes" in samples[b]:
+                boxes, scores, labels = (np.asarray(a) for a in det[b])
+                det_metric.add_sample(
+                    boxes, scores, labels,
+                    np.asarray(samples[b]["gt_boxes"]),
+                    np.asarray(samples[b]["gt_labels"]))
             n_done += 1
         if max_samples is not None and n_done >= max_samples:
             break
-    results = metric.count_miou()
+    results = metric.count_miou() if model.use_occupancy_head else {}
+    if det_metric is not None:
+        results.update(det_metric.compute())
     results["n_samples"] = n_done
     return results

@@ -54,3 +54,53 @@ def test_checkpoint_roundtrip(cfg, tmp_path):
              __import__("jax").tree.leaves(restored.params))[0])
     np.testing.assert_array_equal(a, b)
     assert int(restored.step) == int(state.step)
+
+
+def test_detection_train_and_eval(tmp_path):
+    """Detection-variant config: train a couple of steps and run the eval
+    loop with the NDS/mAP metrics."""
+    cfg = Config.fromfile(CFG)
+    cfg.merge_from_options({
+        "model.use_occupancy_head": "False",
+        "model.use_detection_head": "True",
+        "log_interval": "1", "checkpoint_interval": "100",
+    })
+    # synthetic dataset lacks boxes; add a tiny box GT wrapper
+    import numpy as np
+    from fbbev_tpu.train import loop as L
+
+    orig_build = L.build_dataset
+
+    class WithBoxes:
+        def __init__(self, ds):
+            self.ds = ds
+            self.flag = ds.flag
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            s = self.ds[i]
+            r = np.random.RandomState(i)
+            M = 6
+            boxes = np.zeros((M, 9), np.float32)
+            labels = np.full((M,), -1, np.int64)
+            n = r.randint(1, 4)
+            boxes[:n, 0:2] = r.uniform(-30, 30, (n, 2))
+            boxes[:n, 2] = 0.5
+            boxes[:n, 3:6] = [4.0, 2.0, 1.6]
+            labels[:n] = 0  # cars
+            s["gt_boxes"] = boxes
+            s["gt_labels"] = labels
+            return s
+
+    L.build_dataset = lambda c, split="train": WithBoxes(orig_build(c, split))
+    try:
+        result = train(cfg, max_iters=2, work_dir=str(tmp_path))
+        assert any("task0_loss_heatmap" in h for h in result["history"])
+        res = evaluate(cfg, state=result["state"],
+                       trainer=result["trainer"], max_samples=4)
+        assert "mAP" in res and "NDS" in res
+        assert np.isfinite(res["NDS"])
+    finally:
+        L.build_dataset = orig_build
