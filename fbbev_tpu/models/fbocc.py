@@ -278,7 +278,11 @@ class FBOCC(nn.Module):
             # bf16 compute policy extends to the warp (halves slab traffic);
             # f32 models keep the reference's f32 history math
             hist_zyx = hist_zyx.astype(jnp.bfloat16)
-        if self.use_tiled_warp and ny % 4 == 0 and nx % 4 == 0:
+        # the tiled warp materialises per-tile source slabs (~1.6 GB at
+        # flagship scale) -- a large constant on the training-graph memory
+        # high-water mark; training uses the gather warp instead
+        if (self.use_tiled_warp and not train
+                and ny % 4 == 0 and nx % 4 == 0):
             # exact trilinear via locality tiling (docs/PERF.md): valid for
             # the ego-motion warp (rotation bounded by the +-22.5deg BDA
             # augs and frame-to-frame yaw)

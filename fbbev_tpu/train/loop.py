@@ -102,6 +102,7 @@ def train(cfg: Config, max_iters: Optional[int] = None,
         optimizer=make_optimizer(**dict(cfg.optimizer)),
         ema_base_decay=cfg.ema.get("base_decay", 0.999),
         ema_init_updates=cfg.ema.get("init_updates", 0),
+        donate_state=True,  # the loop never reuses pre-step state objects
     )
 
     grid = _grid_size(model)
