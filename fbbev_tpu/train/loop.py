@@ -36,17 +36,12 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
 def build_model(cfg: Config) -> FBOCC:
-    kwargs = dict(cfg.model)
-    kwargs.pop("type", None)
-    if isinstance(kwargs.get("dtype"), str):
-        kwargs["dtype"] = _DTYPES[kwargs["dtype"]]
-    for key in ("grid_config", "bevformer_grid_config"):
-        if key in kwargs and kwargs[key] is not None:
-            kwargs[key] = {k: tuple(v) for k, v in kwargs[key].items()}
-    for key in ("input_size", "voxel_channels", "pc_range"):
-        if key in kwargs and kwargs[key] is not None:
-            kwargs[key] = tuple(kwargs[key])
-    return FBOCC(**kwargs)
+    """Accepts both the flat kwargs schema and the reference's nested
+    component-dict schema (fbbev_tpu.models.builder)."""
+    from fbbev_tpu.models.builder import build_detector
+    return build_detector(cfg.model.to_dict()
+                          if hasattr(cfg.model, "to_dict")
+                          else dict(cfg.model))
 
 
 def build_dataset(cfg: Config, split: str = "train"):

@@ -104,3 +104,23 @@ def test_detection_train_and_eval(tmp_path):
         assert np.isfinite(res["NDS"])
     finally:
         L.build_dataset = orig_build
+
+
+def test_nested_reference_config_builds_flagship():
+    """The reference's nested component-config schema must produce the same
+    model as the flat flagship config."""
+    import os
+    base = os.path.join(os.path.dirname(CFG))
+    flat = Config.fromfile(os.path.join(base, "fbocc-r50-cbgs_depth_16f.py"))
+    nested = Config.fromfile(
+        os.path.join(base, "fbocc-r50-cbgs_depth_16f_nested.py"))
+    m_flat = build_model(flat)
+    m_nested = build_model(nested)
+    for attr in ("backbone_type", "backbone_depth", "img_feat_channels",
+                 "single_bev_num_channels", "depth_channels",
+                 "history_cat_num", "history_cat_conv_out_channels",
+                 "num_classes", "voxel_channels", "voxel_out_channels",
+                 "input_size", "downsample", "use_backward_projection",
+                 "use_occupancy_head", "use_detection_head", "pc_range",
+                 "grid_config", "bevformer_grid_config", "dtype", "remat"):
+        assert getattr(m_flat, attr) == getattr(m_nested, attr), attr
