@@ -15,7 +15,7 @@ from __future__ import annotations
 import math
 import os
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -68,7 +68,9 @@ class NuScenesDataset:
                  load_occupancy: bool = True,
                  fix_void: bool = True,
                  ego_cam: str = "CAM_FRONT",
-                 seed: int = 0):
+                 seed: int = 0,
+                 tta_config: Optional[Dict] = None,
+                 cam_names: Optional[Sequence[str]] = None):
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
         infos = data["infos"] if isinstance(data, dict) else data
@@ -85,8 +87,17 @@ class NuScenesDataset:
         self.load_occupancy = load_occupancy
         self.fix_void = fix_void
         self.ego_cam = ego_cam
+        if cam_names is not None:
+            self.CAM_NAMES = tuple(cam_names)
         self.flag = compute_sequence_flags(self.infos, sequences_split_num)
         self.rng = np.random.RandomState(seed)
+        # test-time augmentation: dict(tta_flip=, flip_dx=, flip_dy=).
+        # Like the reference (CustomDistMultiScaleFlipAug3D,
+        # test_time_aug.py:319-392 + aug_test == assert False), the GT is
+        # flipped consistently with the inputs, so each TTA variant is
+        # evaluated in its own flipped world and variants merge through the
+        # shared confusion matrix -- predictions are never un-flipped.
+        self.tta_config = tta_config
 
     def __len__(self) -> int:
         return len(self.infos)
@@ -118,7 +129,9 @@ class NuScenesDataset:
             img = Image.open(cam["data_path"])
             aug = T.sample_image_augmentation(
                 self.data_config, img.height, img.width, self.is_train,
-                self.rng)
+                self.rng,
+                flip=(bool(self.tta_config.get("tta_flip", False))
+                      if self.tta_config and not self.is_train else None))
             resize, resize_dims, crop, flip, rotate = aug
             img_augs_per_cam.append(aug)
             img = T.apply_image_transform(img, resize_dims, crop, flip,
@@ -140,7 +153,8 @@ class NuScenesDataset:
             post_trans.append(post_tran)
 
         rotate_bda, scale_bda, flip_dx, flip_dy = T.sample_bda_augmentation(
-            self.bda_aug_conf, self.is_train, self.rng)
+            self.bda_aug_conf, self.is_train, self.rng,
+            tta_config=self.tta_config)
         bda_rot = T.bda_matrix(rotate_bda, scale_bda, flip_dx, flip_dy)
 
         sample: Dict[str, np.ndarray] = dict(

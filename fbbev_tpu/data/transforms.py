@@ -98,7 +98,11 @@ def normalize_image(img: np.ndarray) -> np.ndarray:
 
 
 def sample_bda_augmentation(bda_aug_conf: Dict, is_train: bool,
-                            rng: Optional[np.random.RandomState] = None):
+                            rng: Optional[np.random.RandomState] = None,
+                            tta_config: Optional[Dict] = None):
+    """BEV-aug sampling; at eval a ``tta_config`` forces the flip pair
+    (``LoadAnnotationsBEVDepth.sample_bda_augmentation``,
+    ``loading.py:1323-1340``)."""
     rng = rng or np.random
     if is_train:
         rotate_bda = rng.uniform(*bda_aug_conf["rot_lim"])
@@ -107,6 +111,9 @@ def sample_bda_augmentation(bda_aug_conf: Dict, is_train: bool,
         flip_dy = rng.uniform() < bda_aug_conf["flip_dy_ratio"]
     else:
         rotate_bda, scale_bda, flip_dx, flip_dy = 0.0, 1.0, False, False
+        if tta_config is not None:
+            flip_dx = bool(tta_config.get("flip_dx", False))
+            flip_dy = bool(tta_config.get("flip_dy", False))
     return rotate_bda, scale_bda, flip_dx, flip_dy
 
 
@@ -175,10 +182,8 @@ def load_occupancy_gt(occupancy_path: str, scene_name: str,
     data = np.load(path)
     occ = data["semantics"].astype(np.int32)
     visible = data["mask_camera"].astype(bool)
-    out = prepare_occupancy_gt(occ, visible, rotate_bda, flip_dx, flip_dy,
-                               ignore_nonvisible, fix_void)
-    out["gt_occupancy_cvpr"] = occ  # raw Occ3D frame for evaluation
-    return out
+    return prepare_occupancy_gt(occ, visible, rotate_bda, flip_dx, flip_dy,
+                                ignore_nonvisible, fix_void)
 
 
 def prepare_occupancy_gt(occ: np.ndarray, visible: np.ndarray,
@@ -186,6 +191,7 @@ def prepare_occupancy_gt(occ: np.ndarray, visible: np.ndarray,
                          flip_dy: bool = False,
                          ignore_nonvisible: bool = True,
                          fix_void: bool = True) -> Dict[str, np.ndarray]:
+    raw = occ
     occ = occ.copy()
     if ignore_nonvisible:
         occ[~visible] = 255
@@ -198,8 +204,25 @@ def prepare_occupancy_gt(occ: np.ndarray, visible: np.ndarray,
         occ = np.flip(occ, 1).copy()
     if flip_dy:
         occ = np.flip(occ, 0).copy()
+    # eval-frame GT/mask: the Occ3D frame of the *augmented world* so that
+    # TTA-flip variants evaluate coherently (predictions are converted with
+    # the fixed fbocc.py:546-549 transform and never un-flipped; GT and
+    # camera mask must carry the same flips).  Without flips this is the
+    # raw Occ3D volume exactly (round-trip tested).
+    if flip_dx or flip_dy:
+        vis_b = occupancy_to_bevdet_axes(visible)
+        cvpr_b = occupancy_to_bevdet_axes(raw)
+        for flipped, ax in ((flip_dx, 1), (flip_dy, 0)):
+            if flipped:
+                vis_b = np.flip(vis_b, ax)
+                cvpr_b = np.flip(cvpr_b, ax)
+        visible_out = occupancy_from_bevdet_axes(vis_b)
+        cvpr_out = occupancy_from_bevdet_axes(cvpr_b)
+    else:
+        visible_out, cvpr_out = visible, raw
     return {"gt_occupancy": occ.astype(np.int32),
-            "visible_mask": visible}
+            "visible_mask": visible_out,
+            "gt_occupancy_cvpr": cvpr_out}
 
 
 def _rotate_occ(occ: np.ndarray, angle_deg: float) -> np.ndarray:
@@ -255,8 +278,13 @@ def _pose(rot_quat, tran) -> np.ndarray:
 
 def nuscenes_rt_matrix(src_info: Dict, dest_info: Dict, src_mod: str,
                        dest_mod: str) -> np.ndarray:
-    """4x4 src-frame -> dest-frame transform (datasets/utils.py:150-243,
-    lidar/ego/global modes)."""
+    """4x4 src-frame -> dest-frame transform (datasets/utils.py:150-243).
+
+    Modes: ``global`` / ``ego`` / ``lidar`` / ``CAM_<NAME>`` (camera xyz
+    coords) / ``CAM_<NAME>_XYD`` (homogeneous pixel coords scaled by depth,
+    i.e. the intrinsics are folded in; cf. utils.py:151-155).  Composition
+    is always src->global->dest, exactly as the reference.
+    """
     def to_global(info, mod):
         ego2global = _pose(info["ego2global_rotation"],
                            info["ego2global_translation"])
@@ -264,10 +292,21 @@ def nuscenes_rt_matrix(src_info: Dict, dest_info: Dict, src_mod: str,
             return np.eye(4)
         if mod == "ego":
             return ego2global
+        lidar2ego = _pose(info["lidar2ego_rotation"],
+                          info["lidar2ego_translation"])
         if mod == "lidar":
-            lidar2ego = _pose(info["lidar2ego_rotation"],
-                              info["lidar2ego_translation"])
             return ego2global @ lidar2ego
+        if mod.startswith("CAM"):
+            cam = info["cams"][mod.replace("_XYD", "")]
+            cam2lidar = np.eye(4)
+            cam2lidar[:3, :3] = np.asarray(cam["sensor2lidar_rotation"])
+            cam2lidar[:3, 3] = np.asarray(cam["sensor2lidar_translation"])
+            m = ego2global @ lidar2ego @ cam2lidar
+            if mod.endswith("_XYD"):
+                intr = np.eye(4)
+                intr[:3, :3] = np.asarray(cam["cam_intrinsic"])
+                m = m @ np.linalg.inv(intr)
+            return m
         raise ValueError(mod)
 
     return np.linalg.inv(to_global(dest_info, dest_mod)) @ \

@@ -9,17 +9,23 @@ the reference through the devkit
   matching by descending score, AP = mean precision over recall in
   [0.1, 1] (101-point interpolation, devkit convention);
 * TP errors at the 2 m threshold: ATE (center L2), ASE (1 - aligned IoU),
-  AOE (yaw delta, period 2pi except pi for barriers), AVE (velocity L2);
+  AOE (yaw delta, period 2pi except pi for barriers), AVE (velocity L2),
+  AAE (1 - attribute accuracy);
 * NDS = (5*mAP + sum_tp (1 - min(1, err))) / 10.
 
-Simplification vs the devkit: the attribute error (AAE) is excluded from
-the TP set (this framework, like the reference model, predicts no
-attributes) -- NDS here averages over 4 TP metrics instead of 5.
+The model predicts no attributes (neither does the reference's CenterPoint
+head); like the reference's submission writer
+(``nuscenes_dataset.py:496-515``), the attribute is derived from class +
+speed: moving vehicles -> 'vehicle.moving', moving cycles ->
+'cycle.with_rider', slow pedestrians -> 'pedestrian.standing', slow buses
+-> 'vehicle.stopped', else the per-class default.  Classes without
+attributes (barrier, traffic_cone) are excluded from mAAE, matching the
+devkit.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -27,6 +33,36 @@ DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
 TP_THRESHOLD = 2.0
 MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
+
+# nuscenes_dataset.py:92-103
+DEFAULT_ATTRIBUTE = {
+    "car": "vehicle.parked",
+    "pedestrian": "pedestrian.moving",
+    "trailer": "vehicle.parked",
+    "truck": "vehicle.parked",
+    "bus": "vehicle.moving",
+    "motorcycle": "cycle.without_rider",
+    "construction_vehicle": "vehicle.parked",
+    "bicycle": "cycle.without_rider",
+    "barrier": "",
+    "traffic_cone": "",
+}
+
+
+def derive_attribute(name: str, vx: float, vy: float) -> str:
+    """Class+speed attribute heuristic (nuscenes_dataset.py:496-515)."""
+    if np.sqrt(vx * vx + vy * vy) > 0.2:
+        if name in ("car", "construction_vehicle", "bus", "truck",
+                    "trailer"):
+            return "vehicle.moving"
+        if name in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+        return DEFAULT_ATTRIBUTE.get(name, "")
+    if name == "pedestrian":
+        return "pedestrian.standing"
+    if name == "bus":
+        return "vehicle.stopped"
+    return DEFAULT_ATTRIBUTE.get(name, "")
 
 
 def _aligned_iou_3d(dims_a: np.ndarray, dims_b: np.ndarray) -> np.ndarray:
@@ -51,9 +87,13 @@ class DetectionMetric:
 
     def add_sample(self, boxes: np.ndarray, scores: np.ndarray,
                    labels: np.ndarray, gt_boxes: np.ndarray,
-                   gt_labels: np.ndarray):
+                   gt_labels: np.ndarray,
+                   gt_attrs: Optional[Sequence[str]] = None):
         """boxes/gt_boxes: (N, >=9) [x,y,z,dx,dy,dz,yaw,vx,vy]; invalid
-        predictions have score < 0."""
+        predictions have score < 0.  ``gt_attrs``: per-GT attribute names;
+        when absent they are derived from GT velocity with the same
+        heuristic as predictions (real-data loaders pass the annotated
+        attributes)."""
         valid = scores >= 0
         boxes, scores, labels = boxes[valid], scores[valid], labels[valid]
         for ci, cname in enumerate(self.class_names):
@@ -83,6 +123,11 @@ class DetectionMetric:
                     if thr == TP_THRESHOLD and match >= 0:
                         g = gt_boxes[g_idx[match]]
                         period = np.pi if cname == "barrier" else 2 * np.pi
+                        gt_attr = (
+                            gt_attrs[g_idx[match]] if gt_attrs is not None
+                            else derive_attribute(cname, g[7], g[8]))
+                        pred_attr = derive_attribute(
+                            cname, boxes[pi, 7], boxes[pi, 8])
                         tp_err = dict(
                             ate=float(d[match]),
                             ase=1.0 - float(_aligned_iou_3d(
@@ -90,6 +135,10 @@ class DetectionMetric:
                             aoe=float(_yaw_diff(boxes[pi, 6], g[6], period)),
                             ave=float(np.linalg.norm(
                                 boxes[pi, 7:9] - g[7:9])),
+                            # devkit: attr error undefined (excluded) when
+                            # the GT has no attribute
+                            aae=(None if gt_attr == "" else
+                                 float(pred_attr != gt_attr)),
                         )
                 self.preds[cname].append(
                     (float(scores[pi]), entry_matches, tp_err))
@@ -121,14 +170,16 @@ class DetectionMetric:
 
     def compute(self) -> Dict[str, float]:
         aps = {}
-        tp_errs = {k: [] for k in ("ate", "ase", "aoe", "ave")}
+        tp_errs = {k: [] for k in ("ate", "ase", "aoe", "ave", "aae")}
         for cname in self.class_names:
             class_aps = [self._class_ap(cname, t) for t in DIST_THRESHOLDS]
             aps[cname] = float(np.nanmean(class_aps))
             errs = [e[2] for e in self.preds[cname] if e[2] is not None]
             for k in tp_errs:
-                if errs:
-                    tp_errs[k].append(np.mean([er[k] for er in errs]))
+                vals = [er[k] for er in errs] if errs else []
+                vals = [v for v in vals if v is not None]
+                if vals:
+                    tp_errs[k].append(np.mean(vals))
         mean_ap = float(np.nanmean(list(aps.values())))
         results = {f"AP_{c}": v for c, v in aps.items()}
         results["mAP"] = mean_ap

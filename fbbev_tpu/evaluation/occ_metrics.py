@@ -74,3 +74,97 @@ class MIoUMetric:
         res["Overall"] = round(
             float(np.nanmean(iou[: self.num_classes - 1])) * 100, 2)
         return res
+
+
+class FScoreMetric:
+    """Binary-occupancy F-score (``Metric_FScore``,
+    ``/root/reference/mmdet3d/datasets/occ_metrics.py:182-281``).
+
+    The reference queries KDTrees between the two occupied-voxel-centre
+    point clouds and thresholds the NN distance.  Because every point is a
+    voxel centre on the same regular grid, ``min_dist < t`` is *exactly* a
+    binary dilation of the other occupancy grid by the integer offsets
+    with ``||d .* voxel_size|| < t`` -- so the KDTree is replaced by an
+    offset-shift OR, with identical results and no spatial-index
+    dependency.  Dataset-eval parameters: thresholds 0.4
+    (``nuscenes_dataset.py:702-711``), void = {17, 255}.
+
+    Boundary note: when the threshold falls exactly on a lattice distance
+    (0.4 with 0.4 voxels), the reference's ``dist < t`` is fp-rounding
+    dependent (adjacent-centre distances evaluate to 0.4 +/- 1ulp varying
+    by position); here the strict inequality is exact, i.e. the 0.4
+    default counts only coincident voxels.
+    """
+
+    def __init__(self, threshold_acc: float = 0.4,
+                 threshold_complete: float = 0.4,
+                 voxel_size=(0.4, 0.4, 0.4), void=(17, 255),
+                 use_image_mask: bool = True):
+        self.threshold_acc = threshold_acc
+        self.threshold_complete = threshold_complete
+        self.voxel_size = tuple(voxel_size)
+        self.void = tuple(void)
+        self.use_image_mask = use_image_mask
+        self.cnt = 0
+        self.tot_acc = 0.0
+        self.tot_cmpl = 0.0
+        self.tot_f1 = 0.0
+        self.eps = 1e-8
+
+    def _offsets(self, threshold: float):
+        vx, vy, vz = self.voxel_size
+        rx = int(np.ceil(threshold / vx))
+        ry = int(np.ceil(threshold / vy))
+        rz = int(np.ceil(threshold / vz))
+        offs = []
+        for dx in range(-rx, rx + 1):
+            for dy in range(-ry, ry + 1):
+                for dz in range(-rz, rz + 1):
+                    d = np.linalg.norm([dx * vx, dy * vy, dz * vz])
+                    if d < threshold:
+                        offs.append((dx, dy, dz))
+        return offs
+
+    @staticmethod
+    def _dilate(occ: np.ndarray, offsets) -> np.ndarray:
+        out = np.zeros_like(occ)
+        H, W, Z = occ.shape
+        for dx, dy, dz in offsets:
+            src = occ[max(0, -dx):H - max(0, dx),
+                      max(0, -dy):W - max(0, dy),
+                      max(0, -dz):Z - max(0, dz)]
+            out[max(0, dx):H - max(0, -dx),
+                max(0, dy):W - max(0, -dy),
+                max(0, dz):Z - max(0, -dz)] |= src
+        return out
+
+    def add_batch(self, semantics_pred: np.ndarray, semantics_gt: np.ndarray,
+                  mask_camera: np.ndarray = None):
+        """(H, W, Z) int label volumes in CVPR2023 axes (same contract as
+        :meth:`MIoUMetric.add_batch`)."""
+        self.cnt += 1
+        gt = semantics_gt.copy()
+        pred = semantics_pred.copy()
+        if self.use_image_mask and mask_camera is not None:
+            gt[~mask_camera.astype(bool)] = 255
+            pred[~mask_camera.astype(bool)] = 255
+        gt_occ = ~np.isin(gt, self.void)
+        pred_occ = ~np.isin(pred, self.void)
+        if not pred_occ.any():
+            # reference: empty prediction scores 0 (occ_metrics.py:252-255)
+            return
+        # completeness: GT points with a predicted point within t_complete
+        near_pred = self._dilate(pred_occ,
+                                 self._offsets(self.threshold_complete))
+        completeness = float(near_pred[gt_occ].mean()) if gt_occ.any() else 0.
+        # accuracy: predicted points with a GT point within t_acc
+        near_gt = self._dilate(gt_occ, self._offsets(self.threshold_acc))
+        accuracy = float(near_gt[pred_occ].mean())
+        f1 = 2.0 / (1.0 / (accuracy + self.eps)
+                    + 1.0 / (completeness + self.eps))
+        self.tot_acc += accuracy
+        self.tot_cmpl += completeness
+        self.tot_f1 += f1
+
+    def count_fscore(self) -> Dict[str, float]:
+        return {"f-score": round(self.tot_f1 / max(self.cnt, 1), 4)}

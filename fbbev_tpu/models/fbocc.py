@@ -271,43 +271,61 @@ class FBOCC(nn.Module):
 
         fp = self.forward_projection
         f2b = jnp.asarray(geometry.feat2bev_matrix(fp.dx, fp.bx))
-        grid = geometry.history_flow_grid(
-            hist_augs, forward_augs, curr_to_prev, f2b, (nz, ny, nx))
         hist_zyx = jnp.transpose(history_bev, (0, 3, 1, 2, 4))
         if self.dtype == jnp.bfloat16:
             # bf16 compute policy extends to the warp (halves slab traffic);
             # f32 models keep the reference's f32 history math
             hist_zyx = hist_zyx.astype(jnp.bfloat16)
-        # the tiled warp materialises per-tile source slabs (~1.6 GB at
-        # flagship scale) -- a large constant on the training-graph memory
-        # high-water mark; training uses the gather warp instead
-        if (self.use_tiled_warp and not train
-                and ny % 4 == 0 and nx % 4 == 0):
-            # exact trilinear via locality tiling (docs/PERF.md): valid for
-            # the ego-motion warp (rotation bounded by the +-22.5deg BDA
-            # augs and frame-to-frame yaw)
-            sampled = grid_sample_3d_tiled(
-                hist_zyx, grid, align_corners=True, tile=4, slab_xy=8)
+        from fbbev_tpu.ops import pallas_warp
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if (self.use_tiled_warp and not train and on_tpu
+                and pallas_warp.supports(hist_zyx.shape)):
+            # Pallas affine warp: exact trilinear, tent-product on the MXU,
+            # output written directly in (B, Y, X, Z, C) layout -- fuses
+            # away the post-warp transpose (measured 2.5 ms at flagship
+            # scale, docs/PERF.md)
+            mat = pallas_warp.flow_matrix_from_grid_args(
+                hist_augs, forward_augs, curr_to_prev, f2b)
+            sampled = pallas_warp.warp_affine_3d(
+                hist_zyx, mat, out_zyx=False).astype(jnp.float32)
         else:
-            sampled = grid_sample_3d(hist_zyx, grid, align_corners=True)
-        sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4)).astype(
-            jnp.float32)  # (B,Y,X,Z,TC)
+            grid = geometry.history_flow_grid(
+                hist_augs, forward_augs, curr_to_prev, f2b, (nz, ny, nx))
+            # the tiled warp materialises per-tile source slabs (~1.6 GB at
+            # flagship scale) -- a large constant on the training-graph
+            # memory high-water mark; training uses the gather warp instead
+            if (self.use_tiled_warp and not train
+                    and ny % 4 == 0 and nx % 4 == 0):
+                # exact trilinear via locality tiling (docs/PERF.md): valid
+                # for the ego-motion warp (rotation bounded by the
+                # +-22.5deg BDA augs and frame-to-frame yaw)
+                sampled = grid_sample_3d_tiled(
+                    hist_zyx, grid, align_corners=True, tile=4, slab_xy=8)
+            else:
+                sampled = grid_sample_3d(hist_zyx, grid, align_corners=True)
+            sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4)).astype(
+                jnp.float32)  # (B,Y,X,Z,TC)
 
         feats_cat = jnp.concatenate([curr_bev, sampled], -1)  # (1+T)*C
         sweep_cat = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.float32), sweep_time], axis=1)
 
-        # per-keyframe time embedding conv: fold frames into batch
-        frames = feats_cat.reshape(B, ny, nx, nz, T + 1, C)
-        frames = jnp.moveaxis(frames, 4, 1).reshape(
-            B * (T + 1), ny, nx, nz, C)
-        t_emb = (sweep_cat * 0.5).reshape(B * (T + 1), 1, 1, 1, 1)
-        t_emb = jnp.broadcast_to(t_emb, (B * (T + 1), ny, nx, nz, 1))
+        # per-keyframe time-embedding conv.  A 1x1x1 conv mixes no spatial
+        # positions, so the frame axis is folded into Z instead of batch:
+        # (B,Y,X,Z,(T+1)C) -> (B,Y,X,Z(T+1),C) is a pure reshape (z-major,
+        # frame-minor is already the memory order), where the reference's
+        # batch-fold (fbocc.py:303-310 here, :303 upstream) costs two full
+        # moveaxis copies of the 17x80ch volume (~4 ms/frame measured).
+        # BatchNorm statistics reduce over all non-channel axes either way,
+        # so semantics and parameter layout are unchanged.
+        frames = feats_cat.reshape(B, ny, nx, nz * (T + 1), C)
+        t_emb = jnp.broadcast_to(
+            (sweep_cat * 0.5)[:, None, :], (B, nz, T + 1)).reshape(
+            B, 1, 1, nz * (T + 1), 1)
+        t_emb = jnp.broadcast_to(t_emb, (B, ny, nx, nz * (T + 1), 1))
         frames = jnp.concatenate([frames, t_emb], -1)
         frames = self.history_keyframe_time_conv(frames, train)
-        frames = frames.reshape(B, T + 1, ny, nx, nz, C)
-        frames = jnp.moveaxis(frames, 1, 4).reshape(
-            B, ny, nx, nz, (T + 1) * C)
+        frames = frames.reshape(B, ny, nx, nz, (T + 1) * C)
         fused = self.history_keyframe_cat_conv(frames, train)
 
         new_state = TemporalState(

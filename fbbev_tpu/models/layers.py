@@ -310,6 +310,36 @@ def resize_bilinear(x, out_hw, align_corners: bool = False):
     return grid_sample_2d(x, grid, align_corners=True)
 
 
+def _upsample_int_axis(x, axis: int, s: int):
+    """Exact integer-factor linear upsample along one axis
+    (align_corners=False, half-pixel centres, edge clamp): phase k of the
+    output samples input coordinate (k + .5)/s - .5, a fixed 2-tap lerp.
+    Pure shifts + lerps -- measurably cheaper than the general gather/conv
+    resize on TPU (docs/PERF.md)."""
+    import jax
+
+    n = x.shape[axis]
+    prev = jnp.concatenate([
+        jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+        jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
+    nxt = jnp.concatenate([
+        jax.lax.slice_in_dim(x, 1, n, axis=axis),
+        jax.lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
+    phases = []
+    for k in range(s):
+        c = (k + 0.5) / s - 0.5
+        if c < 0:
+            w = c + 1.0  # lerp(prev, x, w)
+            phases.append((1.0 - w) * prev + w * x)
+        else:
+            w = c  # lerp(x, next, w)
+            phases.append((1.0 - w) * x + w * nxt)
+    out = jnp.stack(phases, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= s
+    return out.reshape(shape)
+
+
 def resize_trilinear(x, out_dhw, align_corners: bool = False):
     """3D trilinear resize for (B, D, H, W, C)."""
     import jax
@@ -317,6 +347,13 @@ def resize_trilinear(x, out_dhw, align_corners: bool = False):
     C = x.shape[-1]
     od, oh, ow = out_dhw
     if not align_corners:
+        ratios = [o // i if o % i == 0 else 0
+                  for o, i in zip((od, oh, ow), x.shape[1:4])]
+        if all(r >= 1 for r in ratios):
+            for ax, r in zip((1, 2, 3), ratios):
+                if r > 1:
+                    x = _upsample_int_axis(x, ax, r)
+            return x
         return jax.image.resize(x, (B, od, oh, ow, C), method="linear")
     from fbbev_tpu.ops.grid_sample import grid_sample_3d
     zs = jnp.linspace(-1.0, 1.0, od)

@@ -8,9 +8,10 @@ softmax-weighted multi-scale fusion at 200x200x16, 1x1x1 prediction convs
 to 19 classes; losses: focal CE (1/log-freq class weights + radial BEV
 weight), sem_scal, geo_scal, lovasz.
 
-The multi-scale GT mode-pooling branch (``occupancy_head.py:217-228``)
-is a no-op for the shipped config (prediction resolution == GT resolution)
-and is not re-implemented; supervision happens at full resolution.
+The multi-scale GT mode-pooling branch (``occupancy_head.py:217-228``) is
+implemented by :func:`downsample_gt_mode_pool` and engages automatically
+whenever the supervised logits are coarser than the GT (a no-op for the
+shipped full-resolution config).
 
 Layout: voxel features (B, Y, X, Z, C); logits (B, Y, X, Z, num_classes).
 """
@@ -101,10 +102,60 @@ class OccHead(nn.Module):
         return logits.astype(jnp.float32)
 
 
+def downsample_gt_mode_pool(target: jnp.ndarray, ratio: int,
+                            empty_idx: int = 18,
+                            num_classes: int = 19) -> jnp.ndarray:
+    """GT mode-pooling for coarse supervision (``occupancy_head.py:217-228``).
+
+    Reproduces the reference's torch code exactly, including its quirks for
+    the shipped label convention (0 = noise, 18 = empty):
+
+    * blocks whose label *sum* equals ``empty_idx`` keep their raw labels
+      for the mode (the reference's all-empty test, written for the
+      OpenOccupancy empty_idx=0 convention);
+    * in all other blocks the label-0 voxels are "uniquified" to distinct
+      negatives, so they can never win the mode (each has count 1 and
+      negatives are smallest), and a block whose non-zero labels are all
+      distinct resolves to 255 (ignore);
+    * ``torch.mode`` tie-break: the smallest value among the most frequent
+      (255 candidates sort after real classes).
+
+    Static-shape TPU formulation: per-block one-hot counts over the
+    ``num_classes + 1`` candidate values (classes + 255) instead of a sort.
+    """
+    B, H, W, D = target.shape
+    r = ratio
+    t = target.reshape(B, H // r, r, W // r, r, D // r, r)
+    t = jnp.transpose(t, (0, 1, 3, 5, 2, 4, 6)).reshape(
+        B, H // r, W // r, D // r, r ** 3)
+    t = t.astype(jnp.int32)
+    blk_sum = t.sum(-1)
+    raw_block = blk_sum == empty_idx  # zeros NOT uniquified in these
+
+    values = jnp.concatenate([jnp.arange(num_classes, dtype=jnp.int32),
+                              jnp.asarray([255], jnp.int32)])
+    cnt = (t[..., None, :] == values[:, None]).sum(-1)  # (..., V)
+    has_zero = cnt[..., 0] > 0
+    eff = cnt.at[..., 0].multiply(raw_block.astype(cnt.dtype))
+    max_eff = eff.max(-1)
+    # argmax = first (smallest) most-frequent value = torch.mode tie-break
+    mode_label = values[jnp.argmax(eff, axis=-1)]
+    negative_wins = jnp.logical_and(
+        jnp.logical_not(raw_block),
+        jnp.logical_and(has_zero, max_eff <= 1))
+    return jnp.where(negative_wins, 255, mode_label)
+
+
 def occ_losses(logits: jnp.ndarray, target: jnp.ndarray,
                class_weights: jnp.ndarray, dist_weight: jnp.ndarray,
                empty_idx: int = 18, use_focal: bool = True):
-    """The four voxel losses (``occupancy_head.py:213-257``), tag c_0."""
+    """The four voxel losses (``occupancy_head.py:213-257``), tag c_0.
+
+    When the target resolution exceeds the logits resolution the GT is
+    mode-pooled first (``occupancy_head.py:217-228``)."""
+    ratio = target.shape[1] // logits.shape[1]
+    if ratio != 1:
+        target = downsample_gt_mode_pool(target, ratio, empty_idx)
     logits = jnp.nan_to_num(logits, nan=0.0, posinf=0.0, neginf=0.0)
     out = {}
     if use_focal:

@@ -1,2 +1,3 @@
 from fbbev_tpu.parallel.mesh import (  # noqa: F401
-    batch_pspecs, make_mesh, shard_batch, state_pspecs)
+    batch_pspecs, distributed_init_if_needed, gather_to_host, make_mesh,
+    replicate, shard_batch, shard_temporal_state, state_pspecs)

@@ -70,13 +70,69 @@ def state_pspecs(temporal_state) -> "type(temporal_state)":
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Shard a host batch onto the mesh.
+
+    Single-process: a plain ``device_put``.  Multi-host (the reference's
+    16-GPU DDP regime, ``apis/train.py:229-233``): each process holds its
+    *local* slice of the global batch (the sampler deals per-process scene
+    streams) and the global array is assembled across processes.
+    """
     specs = batch_pspecs(batch)
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in batch.items()
+        }
     return {
-        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        k: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, specs[k]), np.asarray(v))
         for k, v in batch.items()
     }
 
 
+def shard_temporal_state(tstate, mesh: Mesh):
+    """Place a (host-built) TemporalState onto the mesh, batch-sharded."""
+    specs = state_pspecs(tstate)
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+            tstate, specs)
+    return jax.tree.map(
+        lambda x, spec: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x)),
+        tstate, specs)
+
+
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(
-        tree, NamedSharding(mesh, P()))
+    if jax.process_count() == 1:
+        return jax.device_put(tree, NamedSharding(mesh, P()))
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        tree, mesh, P())
+
+
+def gather_to_host(tree):
+    """Bring (possibly multi-host sharded) step outputs back to every host
+    as numpy -- the TPU-native replacement for the reference's tmpdir-pickle
+    eval gather (``/root/reference/mmdet3d/apis/test.py:210-256``)."""
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+    return jax.tree.map(np.asarray,
+                        multihost_utils.process_allgather(tree, tiled=True))
+
+
+def distributed_init_if_needed(multihost: bool = False) -> None:
+    """``jax.distributed.initialize`` for multi-host runs (idempotent).
+
+    The reference initialises NCCL process groups via
+    ``init_dist`` (``/root/reference/tools/train.py:173``); on TPU pods the
+    runtime handles ICI/DCN once the coordinator handshake is done.
+    """
+    if not multihost:
+        return
+    import jax.distributed as jd
+    try:
+        jd.initialize()
+    except RuntimeError:
+        pass  # already initialised

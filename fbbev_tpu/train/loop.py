@@ -25,6 +25,9 @@ from fbbev_tpu.config import Config
 from fbbev_tpu.data import (
     EvalGroupStreamSampler, InfiniteGroupStreamSampler, SyntheticClipDataset,
     collate)
+from fbbev_tpu.parallel import (
+    distributed_init_if_needed, gather_to_host, make_mesh, replicate,
+    shard_batch, shard_temporal_state)
 from fbbev_tpu.evaluation import MIoUMetric, occ_pred_to_cvpr_format
 from fbbev_tpu.models import FBOCC
 from fbbev_tpu.models.fbocc import init_temporal_state
@@ -65,6 +68,7 @@ def build_dataset(cfg: Config, split: str = "train"):
                 "train_sequences_split_num" if is_train
                 else "test_sequences_split_num", 1),
             load_depth=is_train,
+            cam_names=d.get("cam_names"),
         )
     raise KeyError(kind)
 
@@ -82,14 +86,47 @@ def batch_iterator(dataset, sampler) -> Iterator[Dict[str, np.ndarray]]:
         yield collate([dataset[i] for i in idxs])
 
 
+def make_train_mesh(cfg: Config):
+    """Build the ('data', 'space') mesh requested by the config, or None.
+
+    ``cfg.devices`` = total mesh size (``"all"`` for every visible device),
+    ``cfg.space`` = camera/model-parallel axis size.  Multi-host runs set
+    ``cfg.multihost = True`` (TPU-native replacement for the reference's
+    ``init_dist`` NCCL setup, ``/root/reference/tools/train.py:173``).
+    """
+    n_dev = cfg.get("devices")
+    if not n_dev:
+        return None
+    distributed_init_if_needed(bool(cfg.get("multihost", False)))
+    if n_dev == "all":
+        n_dev = len(jax.devices())
+    n_dev = int(n_dev)
+    space = int(cfg.get("space", 1))
+    return make_mesh(data=n_dev // space, space=space,
+                     devices=jax.devices()[:n_dev])
+
+
+def _put_batch(batch, mesh):
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    return shard_batch(batch, mesh)
+
+
 def train(cfg: Config, max_iters: Optional[int] = None,
           work_dir: Optional[str] = None,
           resume: bool = False) -> Dict[str, Any]:
     model = build_model(cfg)
     dataset = build_dataset(cfg, "train")
-    batch_size = cfg.data.get("batch_size", 2)
+    mesh = make_train_mesh(cfg)
+    batch_size = cfg.data.get("batch_size", 2)  # GLOBAL batch
+    n_proc = jax.process_count()
+    assert batch_size % n_proc == 0, (batch_size, n_proc)
+    # each process feeds its own slice of the global batch slots; the
+    # stream-per-slot contract is preserved because slot identity is
+    # (rank, local slot) exactly as in the reference sampler
     sampler = InfiniteGroupStreamSampler(
-        dataset.flag, batch_size, seed=cfg.get("seed", 0))
+        dataset.flag, batch_size // n_proc, world_size=n_proc,
+        rank=jax.process_index(), seed=cfg.get("seed", 0))
     it = batch_iterator(dataset, sampler)
 
     trainer = Trainer(
@@ -101,16 +138,27 @@ def train(cfg: Config, max_iters: Optional[int] = None,
     )
 
     grid = _grid_size(model)
+    # per-process slice; sharding assembles the global state across hosts
     tstate = init_temporal_state(
-        batch_size, grid, model.history_cat_num,
+        batch_size // n_proc, grid, model.history_cat_num,
         model.single_bev_num_channels)
-    batch0 = {k: jnp.asarray(v) for k, v in next(it).items()}
+    batch0 = _put_batch(next(it), mesh)
+    if mesh is not None:
+        tstate = shard_temporal_state(tstate, mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.get("seed", 0)),
                                batch0, tstate)
+    if mesh is not None:
+        state = replicate(state, mesh)
     work_dir = work_dir or cfg.get("work_dir", "work_dirs")
     ckpt_dir = os.path.join(work_dir, "ckpts")
     if resume and latest_step(ckpt_dir) is not None:
         state = restore_checkpoint(ckpt_dir, state)
+    elif cfg.get("load_from"):
+        from fbbev_tpu.train.pretrained import load_pretrained
+        state = load_pretrained(
+            state, cfg.get("load_from"),
+            load_img_from=cfg.get("load_img_from"),
+            revise_keys=cfg.get("revise_keys"))
 
     total = max_iters if max_iters is not None else cfg.get("max_iters")
     temporal_start = cfg.get("temporal_start_iter", 0)
@@ -120,37 +168,66 @@ def train(cfg: Config, max_iters: Optional[int] = None,
     t0 = time.perf_counter()
     step0 = int(state.step)
     batch = batch0
-    for i in range(step0, total):
-        do_history = i >= temporal_start
-        state, tstate, metrics = trainer.train_step(
-            state, tstate, batch, do_history=do_history)
-        if int(np.asarray(metrics["seq_mismatch"])) > 0:
-            raise RuntimeError(
-                "sampler/state contract violated: a non-start-of-sequence "
-                "sample continued a different scene stream "
-                "(cf. fbocc.py:248 assertion)")
-        if (i + 1) % log_interval == 0 or i + 1 == total:
-            m = {k: float(np.asarray(v)) for k, v in metrics.items()}
-            m["iter"] = i + 1
-            m["time_per_iter"] = (time.perf_counter() - t0) / (
-                i + 1 - step0)
-            history.append(m)
-            print(json.dumps({k: round(v, 5) if isinstance(v, float) else v
-                              for k, v in m.items()}))
-        if (i + 1) % ckpt_interval == 0 or i + 1 == total:
-            save_checkpoint(ckpt_dir, state)
-        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+    ctx = mesh if mesh is not None else _NullCtx()
+    with ctx:
+        for i in range(step0, total):
+            do_history = i >= temporal_start
+            state, tstate, metrics = trainer.train_step(
+                state, tstate, batch, do_history=do_history)
+            # next host batch overlaps with the device step (async dispatch);
+            # the seq_mismatch contract check syncs only at log cadence to
+            # keep the step stream free of per-iter host round-trips
+            next_batch = _put_batch(next(it), mesh)
+            if (i + 1) % log_interval == 0 or i + 1 == total:
+                if int(np.asarray(metrics["seq_mismatch"])) > 0:
+                    raise RuntimeError(
+                        "sampler/state contract violated: a non-start-of-"
+                        "sequence sample continued a different scene stream "
+                        "(cf. fbocc.py:248 assertion)")
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                m["iter"] = i + 1
+                m["time_per_iter"] = (time.perf_counter() - t0) / (
+                    i + 1 - step0)
+                history.append(m)
+                print(json.dumps(
+                    {k: round(v, 5) if isinstance(v, float) else v
+                     for k, v in m.items()}))
+            if (i + 1) % ckpt_interval == 0 or i + 1 == total:
+                save_checkpoint(ckpt_dir, state)
+            batch = next_batch
     return {"state": state, "history": history, "trainer": trainer,
-            "model": model}
+            "model": model, "mesh": mesh}
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
 
 
 def evaluate(cfg: Config, state=None, trainer=None,
              max_samples: Optional[int] = None,
              use_ema: bool = True,
-             work_dir: Optional[str] = None) -> Dict[str, float]:
-    """Streaming occupancy evaluation -> per-class IoU + Overall mIoU."""
+             work_dir: Optional[str] = None,
+             tta: bool = False) -> Dict[str, float]:
+    """Streaming occupancy evaluation -> per-class IoU + Overall mIoU.
+
+    With ``cfg.devices`` set, the eval step runs sharded over the mesh and
+    results are gathered to the host (replacing the reference's
+    tmpdir-pickle gather, ``apis/test.py:210-256``).
+
+    ``tta=True``: the 8 camera-flip x BEV-dx x BEV-dy variants of the
+    reference's CustomDistMultiScaleFlipAug3D (``test_time_aug.py:319-392``,
+    one variant per rank there) are evaluated as 8 sequential passes here
+    (each with fresh temporal state and consistently flipped GT; variants
+    merge through the shared confusion matrix -- the reference never
+    un-flips predictions, its ``aug_test`` is unreachable).
+    """
     model = trainer.model if trainer is not None else build_model(cfg)
     dataset = build_dataset(cfg, "val")
+    mesh = make_train_mesh(cfg)
     batch_size = cfg.data.get("batch_size", 2)
     if trainer is None:
         trainer = Trainer(model)
@@ -166,11 +243,10 @@ def evaluate(cfg: Config, state=None, trainer=None,
         state = trainer.init_state(jax.random.PRNGKey(0), sample, tstate0)
         state = restore_checkpoint(ckpt_dir, state)
 
-    sampler = EvalGroupStreamSampler(dataset.flag, batch_size)
+    n_proc = jax.process_count()
     grid = _grid_size(model)
-    tstate = init_temporal_state(
-        batch_size, grid, model.history_cat_num,
-        model.single_bev_num_channels)
+    if mesh is not None:
+        state = replicate(state, mesh)
     metric = MIoUMetric()
     det_metric = None
     if model.use_detection_head:
@@ -178,22 +254,68 @@ def evaluate(cfg: Config, state=None, trainer=None,
         from fbbev_tpu.models.centerpoint_head import NUSCENES_CLASSES
         det_metric = DetectionMetric(NUSCENES_CLASSES)
     n_done = 0
+    local_bs = batch_size // n_proc
+    if tta:
+        assert hasattr(dataset, "tta_config"), type(dataset)
+        variants = [dict(tta_flip=bool(v & 4), flip_dx=bool(v & 2),
+                         flip_dy=bool(v & 1)) for v in range(8)]
+    else:
+        variants = [None]
+    for tta_cfg in variants:
+        if tta_cfg is not None:
+            dataset.tta_config = tta_cfg
+        sampler = EvalGroupStreamSampler(
+            dataset.flag, local_bs, world_size=n_proc,
+            rank=jax.process_index())
+        tstate = init_temporal_state(
+            local_bs, grid, model.history_cat_num,
+            model.single_bev_num_channels)
+        if mesh is not None:
+            tstate = shard_temporal_state(tstate, mesh)
+        n_done += _eval_pass(
+            sampler, dataset, trainer, state, tstate, mesh, model, metric,
+            det_metric, use_ema, local_bs, n_proc,
+            None if max_samples is None else max_samples - n_done)
+        if max_samples is not None and n_done >= max_samples:
+            break
+    if n_proc > 1:
+        # cross-host confusion-matrix reduction (replaces the reference's
+        # rank-pickle merge, apis/test.py:210-256)
+        merged = gather_to_host(jnp.asarray(metric.hist)[None])
+        metric.hist = np.sum(np.asarray(merged, np.int64), axis=0)
+    results = metric.count_miou() if model.use_occupancy_head else {}
+    if det_metric is not None:
+        results.update(det_metric.compute())
+    results["n_samples"] = n_done
+    return results
+
+
+def _eval_pass(sampler, dataset, trainer, state, tstate, mesh, model,
+               metric, det_metric, use_ema, local_bs, n_proc,
+               max_samples) -> int:
+    n_done = 0
     for idxs, valid in sampler:
         samples = [dataset[i] for i in idxs]
         batch = collate(samples)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if k not in ("visible_mask",)}
+        jb = _put_batch({k: v for k, v in batch.items()
+                         if k not in ("visible_mask",)}, mesh)
         outputs, tstate = trainer.eval_step(state, tstate, jb,
                                             use_ema=use_ema)
-        logits = (np.asarray(outputs["occ_logits"], np.float32)
-                  if "occ_logits" in outputs else None)
+        if "occ_logits" in outputs:
+            # host gather of this process's shard (single-process: the
+            # whole global array is addressable)
+            logits = np.asarray(
+                outputs["occ_logits"].astype(jnp.float32)
+                if n_proc == 1 else _local_shard(outputs["occ_logits"]))
+        else:
+            logits = None
         det = None
         if det_metric is not None and "det_preds" in outputs:
             from fbbev_tpu.models.centerpoint_head import (
                 NUSCENES_TASKS, centerpoint_decode)
             fp = model.make_forward_projection()
             det = []
-            for b in range(batch_size):
+            for b in range(local_bs):
                 preds_b = jax.tree.map(
                     lambda p: p[b:b + 1], outputs["det_preds"])
                 det.append(centerpoint_decode(
@@ -217,8 +339,15 @@ def evaluate(cfg: Config, state=None, trainer=None,
             n_done += 1
         if max_samples is not None and n_done >= max_samples:
             break
-    results = metric.count_miou() if model.use_occupancy_head else {}
-    if det_metric is not None:
-        results.update(det_metric.compute())
-    results["n_samples"] = n_done
-    return results
+    return n_done
+
+
+def _local_shard(arr) -> np.ndarray:
+    """This process's batch rows of a globally sharded output, in order
+    (deduplicating replication across the 'space' axis)."""
+    seen = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data, np.float32)
+    return np.concatenate([seen[k] for k in sorted(seen)], axis=0)

@@ -154,3 +154,82 @@ def test_miou_metric_perfect_and_known():
     m2.add_batch(pred, gt, np.ones_like(gt, bool))
     res2 = m2.count_miou()
     assert res2["car"] == 0.0 and res2["Overall"] < 100.0
+
+
+def test_fscore_matches_kdtree_oracle(rng):
+    """FScoreMetric's grid-dilation NN must equal the reference's KDTree
+    query (``/root/reference/mmdet3d/datasets/occ_metrics.py:246-276``)."""
+    pytest.importorskip("sklearn")
+    from sklearn.neighbors import KDTree
+
+    from fbbev_tpu.evaluation.occ_metrics import FScoreMetric
+
+    H, W, Z = 24, 24, 6
+    gt = np.full((H, W, Z), 17, np.uint8)
+    pred = np.full((H, W, Z), 17, np.uint8)
+    gt[(rng.rand(H, W, Z) < 0.1)] = 3
+    pred[(rng.rand(H, W, Z) < 0.1)] = 5
+    mask = rng.rand(H, W, Z) < 0.8
+
+    # NOTE: thresholds that sit exactly on the voxel lattice (e.g. the 0.4
+    # default with 0.4 voxels) are fp-rounding-dependent in the reference's
+    # KDTree (|i*0.4 - j*0.4| evaluates to 0.4 +/- 1ulp per location); the
+    # grid-dilation form is exact, so parity is asserted off-boundary.
+    for thr in (0.3, 0.6, 1.0):
+        m = FScoreMetric(threshold_acc=thr, threshold_complete=thr,
+                         use_image_mask=True)
+        m.add_batch(pred.copy(), gt.copy(), mask)
+
+        # reference formulation: voxel-centre point clouds + KDTree
+        def pts(vol):
+            g = vol.copy()
+            g[~mask] = 255
+            occ = ~np.isin(g, (17, 255))
+            iy, ix, iz = np.where(occ)
+            return np.stack([iy * 0.4, ix * 0.4, iz * 0.4], -1)
+
+        p_gt, p_pred = pts(gt), pts(pred)
+        comp = (KDTree(p_pred).query(p_gt)[0].ravel() < thr).mean()
+        acc = (KDTree(p_gt).query(p_pred)[0].ravel() < thr).mean()
+        f1 = 2.0 / (1 / (acc + 1e-8) + 1 / (comp + 1e-8))
+        assert abs(m.tot_acc - acc) < 1e-9, thr
+        assert abs(m.tot_cmpl - comp) < 1e-9, thr
+        assert abs(m.count_fscore()["f-score"] - round(f1, 4)) <= 1e-4, thr
+
+
+def test_rt_matrix_cam_modes(rng):
+    """CAM / CAM_XYD rt-matrix modes (datasets/utils.py:150-243): round
+    trips and the pixel-depth projection identity."""
+    from fbbev_tpu.data.transforms import nuscenes_rt_matrix
+
+    def quat(ax, angle):
+        ax = np.asarray(ax, float) / np.linalg.norm(ax)
+        return np.concatenate([[np.cos(angle / 2)], ax * np.sin(angle / 2)])
+
+    K = np.array([[560.0, 0, 352], [0, 560.0, 128], [0, 0, 1]])
+    info = {
+        "ego2global_rotation": quat([0, 0, 1], 0.3),
+        "ego2global_translation": [10.0, -4.0, 0.1],
+        "lidar2ego_rotation": quat([0, 0, 1], -0.05),
+        "lidar2ego_translation": [0.9, 0.0, 1.8],
+        "cams": {"CAM_FRONT": {
+            "sensor2lidar_rotation": np.array(
+                [[0, -1, 0], [0, 0, -1], [1, 0, 0]], float).T,
+            "sensor2lidar_translation": [1.5, 0.0, 1.5],
+            "cam_intrinsic": K,
+        }},
+    }
+    # round trip CAM -> lidar -> CAM == identity
+    a = nuscenes_rt_matrix(info, info, "CAM_FRONT", "lidar")
+    b = nuscenes_rt_matrix(info, info, "lidar", "CAM_FRONT")
+    np.testing.assert_allclose(b @ a, np.eye(4), atol=1e-10)
+    # XYD: cam-frame point -> pixel*depth coords must equal K @ xyz
+    m = nuscenes_rt_matrix(info, info, "CAM_FRONT", "CAM_FRONT_XYD")
+    p = np.array([0.5, -0.2, 12.0, 1.0])
+    xyd = m @ p
+    expect = K @ p[:3]
+    np.testing.assert_allclose(xyd[:3], expect, atol=1e-9)
+    # XYD -> global -> XYD round trip
+    g = nuscenes_rt_matrix(info, info, "CAM_FRONT_XYD", "global")
+    back = nuscenes_rt_matrix(info, info, "global", "CAM_FRONT_XYD")
+    np.testing.assert_allclose(back @ g, np.eye(4), atol=1e-9)

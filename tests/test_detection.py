@@ -163,3 +163,40 @@ def test_detection_metric_offset_errors():
     res = m.compute()
     assert 0.4 < res["mAP"] < 0.6  # 2 of 4 thresholds match
     np.testing.assert_allclose(res["mATE"], 1.5, atol=1e-6)
+
+
+def test_detection_metric_aae():
+    """AAE term (nuscenes_eval.py:569+ TP set; attribute heuristic
+    nuscenes_dataset.py:496-515): wrong motion state costs attr error;
+    attribute-less classes are excluded from mAAE."""
+    from fbbev_tpu.evaluation.det_metrics import (DetectionMetric,
+                                                  derive_attribute)
+
+    assert derive_attribute("car", 3.0, 0.0) == "vehicle.moving"
+    assert derive_attribute("car", 0.0, 0.0) == "vehicle.parked"
+    assert derive_attribute("pedestrian", 0.0, 0.0) == "pedestrian.standing"
+    assert derive_attribute("bicycle", 1.0, 0.0) == "cycle.with_rider"
+    assert derive_attribute("barrier", 0.0, 0.0) == ""
+
+    m = DetectionMetric(["car", "barrier"])
+    gt = np.zeros((2, 9), np.float32)
+    gt[0, 3:6] = [4, 2, 1.6]
+    gt[0, 7] = 5.0  # moving car
+    gt[1, 0] = 10.0
+    gt[1, 3:6] = [2, 0.5, 1.0]  # barrier (no attribute)
+    pred = gt.copy()
+    pred[0, 7] = 0.0  # predicted stationary -> attr mismatch
+    m.add_sample(pred, np.array([0.9, 0.8]), np.array([0, 1]),
+                 gt, np.array([0, 1]))
+    res = m.compute()
+    assert res["mAAE"] == 1.0  # the one attr-valid TP is wrong
+    # NDS averages 5 TP errors (devkit formula)
+    tp_sum = sum(1.0 - min(1.0, res[f"m{k}"])
+                 for k in ("ATE", "ASE", "AOE", "AVE", "AAE"))
+    np.testing.assert_allclose(res["NDS"], (5 * res["mAP"] + tp_sum) / 10,
+                               atol=1e-6)
+
+    m2 = DetectionMetric(["car"])
+    m2.add_sample(gt[:1], np.array([0.9]), np.array([0]),
+                  gt[:1], np.array([0]))
+    assert m2.compute()["mAAE"] == 0.0

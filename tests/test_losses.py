@@ -155,3 +155,49 @@ def test_class_weights_and_distance_map():
     d = L.bev_distance_weight(200, 200)
     assert d.min() >= 1.0 and abs(d.max() - 2.0) < 1e-5
     assert d[100, 100] < d[0, 0]
+
+
+def test_gt_mode_pool_matches_torch_oracle(rng):
+    """downsample_gt_mode_pool vs a torch re-execution of the reference's
+    exact steps (occupancy_head.py:217-228)."""
+    import torch
+
+    from fbbev_tpu.models.occ_head import downsample_gt_mode_pool
+
+    B, H, W, D, r = 2, 8, 8, 4, 2
+    # labels: mostly empty(18), some classes, some noise(0), some 255
+    t = np.full((B, H, W, D), 18, np.int64)
+    m = rng.rand(B, H, W, D)
+    t[m < 0.3] = rng.randint(1, 18, (m < 0.3).sum())
+    t[m > 0.95] = 0
+    t[(m > 0.9) & (m <= 0.95)] = 255
+
+    def torch_oracle(target_voxels, ratio, empty_idx=18):
+        tv = torch.from_numpy(target_voxels.copy())
+        Bt, Ht, Wt, Dt = tv.shape
+        tv = tv.reshape(Bt, Ht // ratio, ratio, Wt // ratio, ratio,
+                        Dt // ratio, ratio).permute(
+            0, 1, 3, 5, 2, 4, 6).reshape(
+            Bt, Ht // ratio, Wt // ratio, Dt // ratio, ratio ** 3)
+        empty_mask = tv.sum(-1) == empty_idx
+        tv = tv.to(torch.int64)
+        occ_space = tv[~empty_mask]
+        occ_space[occ_space == 0] = -torch.arange(
+            len(occ_space[occ_space == 0])) - 1
+        tv[~empty_mask] = occ_space
+        tv = torch.mode(tv, dim=-1)[0]
+        tv[tv < 0] = 255
+        return tv.numpy()
+
+    got = np.asarray(downsample_gt_mode_pool(jnp.asarray(t), r))
+    want = torch_oracle(t, r)
+    np.testing.assert_array_equal(got, want)
+
+    # ratio 4 and a crafted block exercising every branch
+    t2 = np.full((1, 4, 4, 4), 18, np.int64)
+    t2[0, :2, :2, :2] = 0            # all-noise block -> 255
+    t2[0, :2, 2:, :2] = [[[3, 7], [7, 3]], [[5, 2], [9, 11]]]  # distinct->255
+    t2[0, 2:, :2, :2] = [[[4, 4], [0, 255]], [[255, 1], [2, 18]]]  # 4 wins
+    got2 = np.asarray(downsample_gt_mode_pool(jnp.asarray(t2), 2))
+    want2 = torch_oracle(t2, 2)
+    np.testing.assert_array_equal(got2, want2)

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""XLA device-time profiler: trace a jitted callable on TPU and aggregate
+per-op device time by source location.
+
+The TPU-native replacement for the reference's ad-hoc ``run_time``
+decorator + benchmark scripts (``models/fbbev/utils/bricks.py:32-47``,
+``tools/analysis_tools/benchmark*.py``): one trace of the real compiled
+graph, attributed to framework source lines, instead of wall-clock stage
+guesses distorted by dispatch overhead (~1 ms/call over the axon tunnel).
+
+Usage:
+    python tools/profile_trace.py              # flagship eval forward
+    python tools/profile_trace.py --train      # training step
+    python tools/profile_trace.py --batch 4
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def profile_callable(fn, args, iters: int = 3,
+                     trace_dir: str = "/tmp/fbbev_trace"):
+    """Run ``fn(*args)`` under the JAX profiler; return (total_ms, rows)
+    where rows = [(ms_per_iter, category, source, op_name), ...]."""
+    import numpy as np
+
+    import jax
+
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0].ravel()[0])  # sync (axon-safe)
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        raise RuntimeError("no trace produced")
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"}
+
+    agg = {}
+    total = 0.0
+    module_ms = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if "TPU" not in pid_names.get(e.get("pid"), ""):
+            continue
+        args_d = e.get("args") or {}
+        dur = e.get("dur", 0) / 1e3 / iters
+        cat = args_d.get("hlo_category", "?")
+        if cat == "?" and e.get("name", "").startswith("jit_"):
+            module_ms += dur
+            continue
+        src = args_d.get("source", "?")
+        src = src.replace("/root/repo/", "")
+        key = (src, cat)
+        agg[key] = agg.get(key, 0.0) + dur
+        total += dur
+    rows = sorted(((v, cat, src) for (src, cat), v in agg.items()),
+                  reverse=True)
+    return module_ms, total, rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--top", type=int, default=40)
+    p.add_argument("--config", default=None)
+    args = p.parse_args()
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbbev_tpu import geometry
+    from fbbev_tpu.models import FBOCC
+    from fbbev_tpu.models.fbocc import init_temporal_state
+
+    rng = np.random.RandomState(0)
+    B, N = args.batch, 6
+    intr = np.diag([560., 560., 1.]).astype(np.float32)
+    intr[0, 2], intr[1, 2] = 352., 128.
+    rots = np.stack([geometry.rot_z(a) for a in np.linspace(
+        0, 2 * np.pi, N, endpoint=False)])[None]
+    batch = dict(
+        imgs=jnp.asarray(rng.randn(B, N, 256, 704, 3).astype(np.float32)),
+        rots=jnp.asarray(np.broadcast_to(rots, (B, N, 3, 3)).astype(
+            np.float32)),
+        trans=jnp.zeros((B, N, 3)),
+        intrins=jnp.broadcast_to(jnp.asarray(intr), (B, N, 3, 3)),
+        post_rots=jnp.broadcast_to(jnp.asarray(
+            (np.eye(3) * 0.44 + np.diag([0, 0, .56])).astype(np.float32)),
+            (B, N, 3, 3)),
+        post_trans=jnp.zeros((B, N, 3)),
+        bda=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        start_of_sequence=jnp.zeros((B,), bool),
+        sequence_group_idx=jnp.zeros((B,), jnp.int32),
+        curr_to_prev_ego_rt=jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
+    model = FBOCC(dtype=jnp.bfloat16)
+    tstate = init_temporal_state(B, (100, 100, 8), 16, 80)
+
+    if args.train:
+        from fbbev_tpu.train import Trainer
+        batch["gt_occupancy"] = jnp.zeros((B, 100, 100, 8), jnp.int32)
+        batch["gt_depth"] = jnp.zeros((B, N, 256, 704), jnp.float32)
+        trainer = Trainer(model)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch, tstate)
+        fn = lambda s, t, b: trainer.train_step(s, t, b)  # noqa: E731
+        fargs = (state, tstate, batch)
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
+                                        tstate)
+
+        @jax.jit
+        def fn(v, b, ts):
+            return model.apply(v, b, ts, train=False, do_history=True)
+        fargs = (variables, batch, tstate)
+
+    module_ms, total, rows = profile_callable(fn, fargs)
+    print(f"\nmodule device time: {module_ms:.2f} ms/iter; "
+          f"op-sum {total:.2f} ms/iter")
+    print(f"{'ms':>8}  {'category':<16} source")
+    for v, cat, src in rows[:args.top]:
+        print(f"{v:8.3f}  {cat:<16} {src}")
+    bycat = {}
+    for v, cat, _ in rows:
+        bycat[cat] = bycat.get(cat, 0.0) + v
+    print("\nby category:")
+    for cat, v in sorted(bycat.items(), key=lambda kv: -kv[1]):
+        print(f"{v:8.3f}  {cat}")
+
+
+if __name__ == "__main__":
+    main()
