@@ -48,11 +48,38 @@ TILE = 10
 SLAB_Y = 16
 SLAB_X = 32
 ZBAND = 3
-_CB_MAX = 640
+# 2 double-buffered slabs must fit VMEM alongside the output tile
+_CB_MAX = 320
 
 
-def _warp_kernel(mat_ref, vol_ref, out_ref, slab, sem, *, D, H, W, CB,
-                 out_zyx: bool):
+def _slab_origin(mat_ref, b, i, j, *, D, H, W):
+    """Scalar slab origin (oy, ox) for tile (b, i, j)."""
+    m00 = mat_ref[b, 0]
+    m01 = mat_ref[b, 1]
+    m02 = mat_ref[b, 2]
+    m03 = mat_ref[b, 3]
+    m10 = mat_ref[b, 4]
+    m11 = mat_ref[b, 5]
+    m12 = mat_ref[b, 6]
+    m13 = mat_ref[b, 7]
+    cx = (j * TILE).astype(jnp.float32) + (TILE - 1) * 0.5
+    cy = (i * TILE).astype(jnp.float32) + (TILE - 1) * 0.5
+    cz = (D - 1) * 0.5
+    sx_c = m00 * cx + m01 * cy + m02 * cz + m03
+    sy_c = m10 * cx + m11 * cy + m12 * cz + m13
+    # y origin: exact (leading dims of the HBM memref slice freely)
+    oy = jnp.clip(jnp.floor(sy_c).astype(jnp.int32) - SLAB_Y // 2 + 1,
+                  0, H - SLAB_Y)
+    # x origin: 8-aligned (second-minor dim of the tiled memref); the
+    # tile-padded memref row length cushions the right edge
+    w_pad = -(-W // 8) * 8
+    ox_raw = jnp.floor(sx_c).astype(jnp.int32) - SLAB_X // 2 + 4
+    ox = jnp.clip((ox_raw // 8) * 8, 0, w_pad - SLAB_X)
+    return oy, pl.multiple_of(ox, 8)
+
+
+def _warp_kernel(mat_ref, vol_ref, out_ref, slabs, sems, *, D, H, W, CB,
+                 NCB, Ht, Wt, NB, out_zyx: bool):
     b = pl.program_id(0)
     i = pl.program_id(1)   # tile row (y)
     j = pl.program_id(2)   # tile col (x)
@@ -73,27 +100,44 @@ def _warp_kernel(mat_ref, vol_ref, out_ref, slab, sem, *, D, H, W, CB,
 
     y0 = (i * TILE).astype(jnp.float32)
     x0 = (j * TILE).astype(jnp.float32)
-    # slab origin from the warped tile centre (z covered whole)
     cx = x0 + (TILE - 1) * 0.5
     cy = y0 + (TILE - 1) * 0.5
-    cz = (D - 1) * 0.5
-    sx_c = m00 * cx + m01 * cy + m02 * cz + m03
-    sy_c = m10 * cx + m11 * cy + m12 * cz + m13
-    # y origin: exact (leading dims of the HBM memref slice freely)
-    oy = jnp.clip(jnp.floor(sy_c).astype(jnp.int32) - SLAB_Y // 2 + 1,
-                  0, H - SLAB_Y)
-    # x origin: 8-aligned (second-minor dim of the tiled memref); the
-    # tile-padded memref row length cushions the right edge
-    w_pad = -(-W // 8) * 8
-    ox_raw = jnp.floor(sx_c).astype(jnp.int32) - SLAB_X // 2 + 4
-    ox = jnp.clip((ox_raw // 8) * 8, 0, w_pad - SLAB_X)
-    ox = pl.multiple_of(ox, 8)
 
-    copy = pltpu.make_async_copy(
-        vol_ref.at[b, :, pl.ds(oy, SLAB_Y), pl.ds(ox, SLAB_X),
-                   pl.ds(k * CB, CB)],
-        slab, sem)
-    copy.start()
+    # ---- cross-step double-buffered slab DMA: program `step` waits on the
+    # slab its predecessor prefetched and starts the DMA for `step + 1`,
+    # overlapping HBM latency with the tent matmuls (grid dims are all
+    # "arbitrary", i.e. sequential, so scratch persists across steps).
+    def dma(bb, ii, jj, kk, slot):
+        oy_, ox_ = _slab_origin(mat_ref, bb, ii, jj, D=D, H=H, W=W)
+        return pltpu.make_async_copy(
+            vol_ref.at[bb, :, pl.ds(oy_, SLAB_Y), pl.ds(ox_, SLAB_X),
+                       pl.ds(kk * CB, CB)],
+            slabs.at[slot], sems.at[slot])
+
+    step = ((b * Ht + i) * Wt + j) * NCB + k
+    par = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        dma(b, i, j, k, par).start()
+
+    # next-step indices (k innermost)
+    nk = k + 1
+    ck = (nk == NCB).astype(jnp.int32)
+    nk = nk * (1 - ck)
+    nj = j + ck
+    cj = (nj == Wt).astype(jnp.int32)
+    nj = nj * (1 - cj)
+    ni = i + cj
+    ci = (ni == Ht).astype(jnp.int32)
+    ni = ni * (1 - ci)
+    nb = jnp.minimum(b + ci, NB - 1)
+
+    @pl.when(step < NB * Ht * Wt * NCB - 1)
+    def _():
+        dma(nb, ni, nj, nk, 1 - par).start()
+
+    oy, ox = _slab_origin(mat_ref, b, i, j, D=D, H=H, W=W)
 
     # per-z-plane output coordinates (y, x row-major), slab-local
     n_o = TILE * TILE
@@ -115,7 +159,7 @@ def _warp_kernel(mat_ref, vol_ref, out_ref, slab, sem, *, D, H, W, CB,
     # mask tile-padding garbage beyond the real x extent
     xmask = ((ox + isx_i) <= W - 1).astype(jnp.float32)
 
-    copy.wait()
+    dma(b, i, j, k, par).wait()
 
     for z in range(D):
         zf = float(z)
@@ -125,7 +169,7 @@ def _warp_kernel(mat_ref, vol_ref, out_ref, slab, sem, *, D, H, W, CB,
         z_c = m20 * cx + m21 * cy + m22 * zf + m23
         zb = jnp.clip(jnp.floor(z_c).astype(jnp.int32) - (ZBAND - 1) // 2,
                       0, D - ZBAND)
-        band = slab[pl.ds(zb, ZBAND)].reshape(S, CB)
+        band = slabs[par, pl.ds(zb, ZBAND)].reshape(S, CB)
         zbf = zb.astype(jnp.float32)
         w = (jnp.maximum(1.0 - jnp.abs(xs - isx), 0.0)
              * jnp.maximum(1.0 - jnp.abs(ys - isy), 0.0)
@@ -162,9 +206,8 @@ def warp_affine_3d(vol: jnp.ndarray, mat: jnp.ndarray,
     assert supports(vol.shape), vol.shape
     mrows = mat[:, :3, :].reshape(B, 12).astype(jnp.float32)
     Ht, Wt = H // TILE, W // TILE
-    CB = C if C <= _CB_MAX else min(
-        cb for cb in range(128, _CB_MAX + 1, 128) if C % cb == 0
-        and C // cb <= -(-C // _CB_MAX))
+    CB = C if C <= _CB_MAX else max(
+        cb for cb in range(128, _CB_MAX + 1, 128) if C % cb == 0)
     NCB = C // CB
 
     # Mosaic requires the last two block dims be 8/128-aligned or equal to
@@ -184,6 +227,7 @@ def warp_affine_3d(vol: jnp.ndarray, mat: jnp.ndarray,
                                 memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_warp_kernel, D=D, H=H, W=W, CB=CB,
+                               NCB=NCB, Ht=Ht, Wt=Wt, NB=B,
                                out_zyx=out_zyx)
     slab_bytes = D * SLAB_Y * SLAB_X * CB * vol.dtype.itemsize
     tile_bytes = D * TILE * TILE * CB * vol.dtype.itemsize
@@ -197,11 +241,13 @@ def warp_affine_3d(vol: jnp.ndarray, mat: jnp.ndarray,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((D, SLAB_Y, SLAB_X, CB), vol.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, D, SLAB_Y, SLAB_X, CB), vol.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+            # all-sequential grid: the cross-step double buffering relies
+            # on the linear execution order
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
                                  "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(

@@ -61,9 +61,13 @@ class _TreeBuilder:
 
     def __init__(self, sd: Dict[str, np.ndarray], reverse: bool = False,
                  params: Dict[str, Any] = None,
-                 batch_stats: Dict[str, Any] = None):
+                 batch_stats: Dict[str, Any] = None,
+                 partial: bool = False):
         self.sd = sd
         self.reverse = reverse
+        # partial forward mode: rules whose source keys are absent are
+        # skipped (partial warm starts / per-module parity tests)
+        self.partial = partial
         self.params: Dict[str, Any] = params if params is not None else {}
         self.batch_stats: Dict[str, Any] = (
             batch_stats if batch_stats is not None else {})
@@ -99,6 +103,8 @@ class _TreeBuilder:
         if self.reverse:
             self.sd[src] = inv(self._get(tree, dst))
         else:
+            if self.partial and src not in self.sd:
+                return
             self._set(tree, dst, fwd(self.take(src)))
 
     def conv(self, src, dst, ndim=2):
@@ -127,6 +133,8 @@ class _TreeBuilder:
             self.sd[src + ".running_var"] = self._get(
                 self.batch_stats, dst + ("var",))
         else:
+            if self.partial and (src + ".running_mean") not in self.sd:
+                return
             self._set(self.batch_stats, dst + ("mean",),
                       self.take(src + ".running_mean"))
             self._set(self.batch_stats, dst + ("var",),
