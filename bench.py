@@ -59,6 +59,10 @@ def main():
     batch0 = make_batch(0, True)
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch0, state)
+    # serving-parity BN fold (the reference deployment does the same:
+    # tools/misc/fuse_conv_bn.py / --fuse-conv-bn)
+    from fbbev_tpu.utils.fuse_bn import fold_batch_norms
+    variables = jax.tree.map(jnp.asarray, fold_batch_norms(variables))
 
     @jax.jit
     def infer(variables, batch, state):

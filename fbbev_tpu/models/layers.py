@@ -28,13 +28,59 @@ Dtype = Any
 _DISABLED_DECOMP = set(
     os.environ.get("FBBEV_DISABLE_CONV_DECOMP", "").split(","))
 
-# KNOWN ISSUE (v5e/axon, round 1): combining the z-slab AND pointwise
-# decompositions in one *training* graph crashes the TPU worker during
-# the backward pass (each alone is fine, and the inference graph with all
-# three is fine).  Until root-caused, the pointwise decomposition is used
-# in eval graphs only; training falls back to native 1x1x1 convs.  The
-# parameter layouts are identical, so routing by mode is checkpoint-safe.
+# KNOWN ISSUE (v5e/axon; re-bisected round 2): the pointwise-matmul conv
+# decomposition inside the full *training* graph crashes the TPU worker
+# at execution time (not compile) -- even in f32, and even with an
+# optimization_barrier before each matmul (tried and disproven this
+# round; .repro_zslab_pointwise.py no longer reproduces at the op-pair
+# level, so the fault needs the full backward graph).  Bisect evidence:
+# the identical tiny-config train run passes with
+# FBBEV_DISABLE_CONV_DECOMP=pointwise and crashes without it.  The
+# pointwise decomposition therefore stays eval/serving-only; training
+# falls back to native 1x1x1 convs.  Param layouts are identical, so
+# routing by mode is checkpoint-safe.
 _POINTWISE_EVAL_ONLY = True
+
+# opt-in: route eligible 3x3 stride-1 2D convs through the Pallas
+# blocked-im2col kernel (ops/pallas_conv.py).  TPU only; param layout is
+# nn.Conv-compatible so the routing is checkpoint-safe.
+_PALLAS3X3 = os.environ.get("FBBEV_PALLAS3X3", "0") == "1"
+
+
+def _pallas3x3_eligible(x, ks, st, dl, pad, ndim) -> bool:
+    if not _PALLAS3X3 or "pallas3x3" in _DISABLED_DECOMP or ndim != 2:
+        return False
+    if ks != (3, 3) or st != (1, 1) or dl != (1, 1):
+        return False
+    if pad not in ("SAME", [(1, 1), (1, 1)]):
+        return False
+    B, H, W, Cin = x.shape
+    if Cin % 64 or H < 4 or W < 8:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+class PallasConv3x3(nn.Module):
+    """3x3 stride-1 SAME conv on the Pallas im2col kernel; param layout
+    matches ``nn.Conv`` (kernel (3, 3, Cin, Cout))."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from fbbev_tpu.ops import pallas_conv
+        Cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, Cin, self.features))
+        y = pallas_conv.conv3x3(x.astype(self.dtype),
+                                kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class Conv3DZSlab(nn.Module):
@@ -69,9 +115,14 @@ class Conv3DZSlab(nn.Module):
             xs = jax.lax.slice_in_dim(xp, dz, dz + (Zo - 1) * s + 1, s,
                                       axis=3)
             x2 = jnp.moveaxis(xs, 3, 1).reshape(B * Zo, Y, X, Cin)
-            y2 = jax.lax.conv_general_dilated(
-                x2, kern[:, :, dz], (s, s), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if s == 1 and _pallas3x3_eligible(
+                    x2, (3, 3), (1, 1), (1, 1), [(1, 1), (1, 1)], 2):
+                from fbbev_tpu.ops import pallas_conv
+                y2 = pallas_conv.conv3x3(x2, kern[:, :, dz])
+            else:
+                y2 = jax.lax.conv_general_dilated(
+                    x2, kern[:, :, dz], (s, s), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y2 = jnp.moveaxis(
                 y2.reshape((B, Zo) + y2.shape[1:]), 1, 3)
             out = y2 if out is None else out + y2
@@ -182,6 +233,9 @@ class ConvBN(nn.Module):
             x = Conv1x1x1Dense(self.features, strides=st[0],
                                use_bias=self.use_bias,
                                dtype=self.dtype, name="conv")(x)
+        elif _pallas3x3_eligible(x, ks, st, dl, pad, self.ndim):
+            x = PallasConv3x3(self.features, use_bias=self.use_bias,
+                              dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(
                 self.features, ks, strides=st, padding=pad,

@@ -237,7 +237,7 @@ def warp_affine_3d(vol: jnp.ndarray, mat: jnp.ndarray,
         grid=(B, Ht, Wt, NCB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
         scratch_shapes=[
