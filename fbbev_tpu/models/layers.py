@@ -368,17 +368,18 @@ def _upsample_int_axis(x, axis: int, s: int):
     """Exact integer-factor linear upsample along one axis
     (align_corners=False, half-pixel centres, edge clamp): phase k of the
     output samples input coordinate (k + .5)/s - .5, a fixed 2-tap lerp.
-    Pure shifts + lerps -- measurably cheaper than the general gather/conv
-    resize on TPU (docs/PERF.md)."""
+
+    One edge-padded copy + slice views (fused by XLA into the lerp) --
+    the earlier prev/next ``concatenate`` formulation materialised two
+    extra full-volume copies per axis (docs/PERF.md round-2 trace)."""
     import jax
 
     n = x.shape[axis]
-    prev = jnp.concatenate([
-        jax.lax.slice_in_dim(x, 0, 1, axis=axis),
-        jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
-    nxt = jnp.concatenate([
-        jax.lax.slice_in_dim(x, 1, n, axis=axis),
-        jax.lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xe = jnp.pad(x, pad, mode="edge")
+    prev = jax.lax.slice_in_dim(xe, 0, n, axis=axis)
+    nxt = jax.lax.slice_in_dim(xe, 2, n + 2, axis=axis)
     phases = []
     for k in range(s):
         c = (k + 0.5) / s - 0.5
@@ -404,7 +405,9 @@ def resize_trilinear(x, out_dhw, align_corners: bool = False):
         ratios = [o // i if o % i == 0 else 0
                   for o, i in zip((od, oh, ow), x.shape[1:4])]
         if all(r >= 1 for r in ratios):
-            for ax, r in zip((1, 2, 3), ratios):
+            # innermost (sublane-adjacent) axis first, while its volume is
+            # smallest; the leading-axis interleave is a free reshape
+            for ax, r in sorted(zip((1, 2, 3), ratios), reverse=True):
                 if r > 1:
                     x = _upsample_int_axis(x, ax, r)
             return x

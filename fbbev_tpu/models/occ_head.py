@@ -81,13 +81,7 @@ class OccHead(nn.Module):
             w = jnp.full(outputs[0].shape[:4] + (n_feats,), 1.0 / n_feats)
 
         target_size = outputs[0].shape[1:4]
-        fused = jnp.zeros(outputs[0].shape[:1] + target_size + (mid,),
-                          self.dtype)
-        for i, feats in enumerate(outputs):
-            if feats.shape[1:4] != target_size:
-                feats = resize_trilinear(feats, target_size,
-                                         align_corners=False)
-            fused = fused + feats * w[..., i:i + 1]
+        fused = self._fuse_levels(outputs, w, target_size, train)
 
         y = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
                    name="pred_conv1")(fused, train)
@@ -100,6 +94,40 @@ class OccHead(nn.Module):
             logits = Conv1x1x1Dense(self.out_channel, use_bias=False,
                                     dtype=self.dtype, name="pred_conv2")(y)
         return logits.astype(jnp.float32)
+
+    @staticmethod
+    def _fuse_levels(outputs, w, target_size, train):
+        """Upsample every level to ``target_size`` and blend with ``w``.
+
+        Eval on TPU can use the fused Pallas kernel (upsample + blend in
+        VMEM, no full-res per-level HBM round-trips; identical numerics,
+        tests/test_pallas_occ_fuse.py).  OPT-IN via FBBEV_OCCFUSE=1: the
+        kernel passes standalone and in a full OccHead jit at flagship
+        shapes, but inside the complete FBOCC eval graph it crashes the
+        v5e worker at execution (docs/PERF.md round 2) -- same
+        full-graph-only failure mode as the pointwise-in-train issue.
+        """
+        import os
+        Y, X, Z = target_size
+        fuseable = (not train
+                    and os.environ.get("FBBEV_OCCFUSE", "0") == "1"
+                    and jax.default_backend() == "tpu"
+                    and all(s[1] and Y % s[1] == 0 and s[2]
+                            and X % s[2] == 0 and s[3] and Z % s[3] == 0
+                            for s in (f.shape for f in outputs)))
+        if fuseable:
+            from fbbev_tpu.models.layers import _upsample_int_axis
+            from fbbev_tpu.ops.pallas_occ_fuse import fuse_multiscale
+            levels_y = [f if f.shape[1] == Y
+                        else _upsample_int_axis(f, 1, Y // f.shape[1])
+                        for f in outputs]
+            return fuse_multiscale(levels_y, w.astype(outputs[0].dtype))
+        up = [f if f.shape[1:4] == target_size else
+              resize_trilinear(f, target_size, align_corners=False)
+              for f in outputs]
+        # single fused expression: one pass over the full-res volumes
+        # instead of n_feats accumulate round-trips (docs/PERF.md r2 trace)
+        return sum(f * w[..., i:i + 1] for i, f in enumerate(up))
 
 
 def downsample_gt_mode_pool(target: jnp.ndarray, ratio: int,

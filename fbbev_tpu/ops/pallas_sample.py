@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(v_ref, xs_ref, ys_ref, w_ref, o_ref, *, HW, W, TQ, K, C,
+def _kernel(v_ref, xs_ref, ys_ref, w_ref, o_ref, *, H, Wp, TQ, K, C,
             heads, hd):
     R = TQ * K
     # coord blocks are (1, 1, R, 1): rows already in sublanes, no relayout
@@ -47,9 +47,11 @@ def _kernel(v_ref, xs_ref, ys_ref, w_ref, o_ref, *, HW, W, TQ, K, C,
     ys = ys_ref[0, 0]
     wr = w_ref[0, 0]
 
-    i = lax.broadcasted_iota(jnp.int32, (1, HW), 1)
-    ix = (i % W).astype(jnp.float32)
-    iy = (i // W).astype(jnp.float32)
+    # tent-product one-hot over the Wp-padded (lane-aligned) map; padded
+    # columns x >= W never overlap a sample's tent, contributing zeros
+    i = lax.broadcasted_iota(jnp.int32, (1, H * Wp), 1)
+    ix = (i % Wp).astype(jnp.float32)
+    iy = (i // Wp).astype(jnp.float32)
 
     oh = (jnp.maximum(1.0 - jnp.abs(xs - ix), 0.0)
           * jnp.maximum(1.0 - jnp.abs(ys - iy), 0.0)
@@ -78,6 +80,14 @@ def _attend(value, spatial_shape, xs, ys, w, heads: int,
     Returns (B, Q, C) f32."""
     B, HW, C = value.shape
     H, W = spatial_shape
+    # pad the map width to a lane-friendly multiple of 8; tents never
+    # overlap the zero-padded columns (sample x stays within [-1, W])
+    Wp = W + (-W) % 8
+    if Wp != W:
+        value = jnp.pad(value.reshape(B, H, W, C),
+                        ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+        value = value.reshape(B, H * Wp, C)
+        HW = H * Wp
     Q, K = xs.shape[1], xs.shape[2]
     hd = C // heads
     # rows per program ~2048 keeps the VMEM one-hot ~<=6 MB for HW<=1024
@@ -91,7 +101,7 @@ def _attend(value, spatial_shape, xs, ys, w, heads: int,
     coord_spec = pl.BlockSpec((1, 1, R, 1), lambda b, q: (b, q, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, HW=HW, W=W, TQ=TQ, K=K, C=C,
+        functools.partial(_kernel, H=H, Wp=Wp, TQ=TQ, K=K, C=C,
                           heads=heads, hd=hd),
         out_shape=jax.ShapeDtypeStruct((B, Q // TQ, TQ, C), jnp.float32),
         grid=grid,
