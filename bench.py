@@ -55,7 +55,8 @@ def main():
     # bf16 compute: the TPU-native analogue of the reference's fp16
     # deployment path (TensorRT FP16, deployment/README.md).
     model = FBOCC(dtype=jnp.bfloat16)
-    state = init_temporal_state(B, (100, 100, 8), 16, 80)
+    state = init_temporal_state(B, (100, 100, 8), 16, 80,
+                                dtype=jnp.bfloat16)
     batch0 = make_batch(0, True)
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch0, state)

@@ -52,11 +52,16 @@ class TemporalState(NamedTuple):
 
 def init_temporal_state(batch: int, grid_size: Tuple[int, int, int],
                         history_cat_num: int = 16,
-                        channels: int = 80) -> TemporalState:
+                        channels: int = 80,
+                        dtype=jnp.float32) -> TemporalState:
+    """``dtype`` should match the model compute dtype: the reference's
+    history BEV is an fp16 activation under AMP (``fbocc.py:252-320``), so
+    bf16 models carry a bf16 history (halves the ~328 MB/frame of
+    history-state traffic, docs/PERF.md r2)."""
     nx, ny, nz = grid_size
     return TemporalState(
         history_bev=jnp.zeros(
-            (batch, ny, nx, nz, history_cat_num * channels), jnp.float32),
+            (batch, ny, nx, nz, history_cat_num * channels), dtype),
         sweep_time=jnp.zeros((batch, history_cat_num), jnp.float32),
         seq_ids=jnp.full((batch,), -1, jnp.int32),
         forward_augs=jnp.broadcast_to(jnp.eye(4), (batch, 4, 4)),
@@ -239,7 +244,10 @@ class FBOCC(nn.Module):
 
         Returns: (fused (B, Y, X, Z, C_out), new_state, seq_mismatch (B,)).
         """
-        curr_bev = curr_bev.astype(jnp.float32)
+        # history math runs in the model compute dtype (the reference's
+        # history BEV is an fp16 activation under AMP); f32 models keep
+        # exact f32 history semantics
+        curr_bev = curr_bev.astype(self.dtype)
         B, ny, nx, nz, C = curr_bev.shape
         T = self.history_cat_num
         start = meta["start_of_sequence"].astype(bool)
@@ -263,7 +271,8 @@ class FBOCC(nn.Module):
 
         s5 = start[:, None, None, None, None]
         tiled_curr = jnp.tile(curr_bev, (1, 1, 1, 1, T))
-        history_bev = jnp.where(s5, tiled_curr, state.history_bev)
+        history_bev = jnp.where(s5, tiled_curr,
+                                state.history_bev.astype(self.dtype))
         history_bev = jax.lax.stop_gradient(history_bev)
         sweep_time = jnp.where(start[:, None], 0.0, state.sweep_time + 1.0)
         hist_augs = jnp.where(start[:, None, None], forward_augs,
@@ -272,10 +281,6 @@ class FBOCC(nn.Module):
         fp = self.forward_projection
         f2b = jnp.asarray(geometry.feat2bev_matrix(fp.dx, fp.bx))
         hist_zyx = jnp.transpose(history_bev, (0, 3, 1, 2, 4))
-        if self.dtype == jnp.bfloat16:
-            # bf16 compute policy extends to the warp (halves slab traffic);
-            # f32 models keep the reference's f32 history math
-            hist_zyx = hist_zyx.astype(jnp.bfloat16)
         from fbbev_tpu.ops import pallas_warp
         on_tpu = jax.devices()[0].platform == "tpu"
         if (self.use_tiled_warp and not train and on_tpu
@@ -287,7 +292,7 @@ class FBOCC(nn.Module):
             mat = pallas_warp.flow_matrix_from_grid_args(
                 hist_augs, forward_augs, curr_to_prev, f2b)
             sampled = pallas_warp.warp_affine_3d(
-                hist_zyx, mat, out_zyx=False).astype(jnp.float32)
+                hist_zyx, mat, out_zyx=False).astype(self.dtype)
         else:
             grid = geometry.history_flow_grid(
                 hist_augs, forward_augs, curr_to_prev, f2b, (nz, ny, nx))
@@ -304,7 +309,7 @@ class FBOCC(nn.Module):
             else:
                 sampled = grid_sample_3d(hist_zyx, grid, align_corners=True)
             sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4)).astype(
-                jnp.float32)  # (B,Y,X,Z,TC)
+                self.dtype)  # (B,Y,X,Z,TC)
 
         feats_cat = jnp.concatenate([curr_bev, sampled], -1)  # (1+T)*C
         sweep_cat = jnp.concatenate(
@@ -323,7 +328,7 @@ class FBOCC(nn.Module):
             (sweep_cat * 0.5)[:, None, :], (B, nz, T + 1)).reshape(
             B, 1, 1, nz * (T + 1), 1)
         t_emb = jnp.broadcast_to(t_emb, (B, ny, nx, nz * (T + 1), 1))
-        frames = jnp.concatenate([frames, t_emb], -1)
+        frames = jnp.concatenate([frames, t_emb.astype(frames.dtype)], -1)
         frames = self.history_keyframe_time_conv(frames, train)
         frames = frames.reshape(B, ny, nx, nz, (T + 1) * C)
         fused = self.history_keyframe_cat_conv(frames, train)

@@ -51,7 +51,7 @@ class FixedRigPipeline:
         self._infer = jax.jit(self._infer_impl)
         self.state = init_temporal_state(
             B, self.grid, model.history_cat_num,
-            model.single_bev_num_channels)
+            model.single_bev_num_channels, dtype=model.dtype)
 
     # ------------------------------------------------------------------
     def _infer_impl(self, variables, imgs, meta, state: TemporalState,

@@ -141,7 +141,7 @@ def train(cfg: Config, max_iters: Optional[int] = None,
     # per-process slice; sharding assembles the global state across hosts
     tstate = init_temporal_state(
         batch_size // n_proc, grid, model.history_cat_num,
-        model.single_bev_num_channels)
+        model.single_bev_num_channels, dtype=model.dtype)
     batch0 = _put_batch(next(it), mesh)
     if mesh is not None:
         tstate = shard_temporal_state(tstate, mesh)
@@ -237,7 +237,7 @@ def evaluate(cfg: Config, state=None, trainer=None,
         grid = _grid_size(model)
         tstate0 = init_temporal_state(
             batch_size, grid, model.history_cat_num,
-            model.single_bev_num_channels)
+            model.single_bev_num_channels, dtype=model.dtype)
         sample = collate([dataset[0]] * batch_size)
         sample = {k: jnp.asarray(v) for k, v in sample.items()}
         state = trainer.init_state(jax.random.PRNGKey(0), sample, tstate0)
@@ -270,7 +270,7 @@ def evaluate(cfg: Config, state=None, trainer=None,
             rank=jax.process_index())
         tstate = init_temporal_state(
             local_bs, grid, model.history_cat_num,
-            model.single_bev_num_channels)
+            model.single_bev_num_channels, dtype=model.dtype)
         if mesh is not None:
             tstate = shard_temporal_state(tstate, mesh)
         n_done += _eval_pass(

@@ -49,7 +49,8 @@ def main():
             2 * g for g in _grid_size(model)[:2]) + (16,))
     grid = _grid_size(model)
     tstate = init_temporal_state(B, grid, model.history_cat_num,
-                                 model.single_bev_num_channels)
+                                 model.single_bev_num_channels,
+                                 dtype=model.dtype)
     batch = {k: jnp.asarray(v)
              for k, v in collate([ds[i * 8] for i in range(B)]).items()}
 

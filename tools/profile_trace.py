@@ -112,7 +112,8 @@ def main():
         sequence_group_idx=jnp.zeros((B,), jnp.int32),
         curr_to_prev_ego_rt=jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
     model = FBOCC(dtype=jnp.bfloat16)
-    tstate = init_temporal_state(B, (100, 100, 8), 16, 80)
+    tstate = init_temporal_state(B, (100, 100, 8), 16, 80,
+                                 dtype=jnp.bfloat16)
 
     if args.train:
         from fbbev_tpu.train import Trainer
