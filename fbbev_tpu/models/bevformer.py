@@ -95,6 +95,7 @@ class DeformableSelfAttention(nn.Module):
     num_levels: int = 1
     num_points: int = 4
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, query, query_pos, ref_2d, spatial_shape):
@@ -126,11 +127,16 @@ class DeformableSelfAttention(nn.Module):
         if Q == H * W and H % 4 == 0 and W % 4 == 0:
             # queries are the BEV grid itself: locality-tiled sampling
             # avoids a one-hot over the full 10k-cell table
-            out = deformable_sample_attend_grid_tiled(
-                v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
+            fn = deformable_sample_attend_grid_tiled
+            if self.remat:
+                # the (T, S, SL) one-hot is a multi-GB training residual;
+                # rebuild it in the backward pass instead
+                fn = jax.checkpoint(fn, static_argnums=(1,))
+            out = fn(v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
         else:
             out = deformable_sample_attend(
-                v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
+                v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0],
+                remat=self.remat)
         out = out.astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
         return out + identity
@@ -146,6 +152,7 @@ class DepthAwareDeformableAttention(nn.Module):
     num_points: int = 8
     num_z_anchors: int = 4
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, query, value, ref_points, spatial_shape,
@@ -193,7 +200,8 @@ class DepthAwareDeformableAttention(nn.Module):
         DC = pred_depth.shape[-1]
         depth_at_ref = bilinear_sample_onehot(
             pred_depth.astype(jnp.float32), (H, W),
-            ref_points.reshape(Bp, Q * Z, 2)).reshape(Bp, Q, Z, DC)
+            ref_points.reshape(Bp, Q * Z, 2),
+            remat=self.remat).reshape(Bp, Q, Z, DC)
         depth_w = jnp.sum(depth_at_ref * query_depth_onehot, -1)  # (B',Q,Z)
         # tile over per-anchor points in (each, Z) order to match `loc`
         depth_w = jnp.tile(depth_w[:, :, None, :], (1, 1, each, 1))
@@ -201,7 +209,8 @@ class DepthAwareDeformableAttention(nn.Module):
         attn = attn * depth_w[:, :, None, None, :]
 
         out = deformable_sample_attend(
-            v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
+            v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0],
+            remat=self.remat)
         return out  # no output_proj here (it lives in the outer SCA)
 
 
@@ -227,6 +236,7 @@ class DepthAwareSpatialCrossAttention(nn.Module):
     num_z_anchors: int = 4
     max_queries_per_cam: int | None = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, query, query_pos, cam_feats, ref_cam, per_cam_mask,
@@ -262,7 +272,7 @@ class DepthAwareSpatialCrossAttention(nn.Module):
 
         attention = DepthAwareDeformableAttention(
             embed_dims=self.embed_dims, num_points=self.num_points,
-            num_z_anchors=Z, dtype=self.dtype,
+            num_z_anchors=Z, dtype=self.dtype, remat=self.remat,
             name="deformable_attention")
 
         K = self.max_queries_per_cam
@@ -329,19 +339,21 @@ class BEVFormerEncoderLayer(nn.Module):
     dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
     max_queries_per_cam: int | None = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, query, bev_pos, ref_2d, bev_hw, cam_feats, ref_cam,
                  per_cam_mask, query_depth, pred_depth):
         query = DeformableSelfAttention(
             embed_dims=self.embed_dims, dtype=self.dtype,
+            remat=self.remat,
             name="self_attn")(query, bev_pos, ref_2d, bev_hw)
         query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
         query = DepthAwareSpatialCrossAttention(
             embed_dims=self.embed_dims, num_cams=self.num_cams,
             dbound=self.dbound,
             max_queries_per_cam=self.max_queries_per_cam,
-            dtype=self.dtype, name="cross_attn",
+            dtype=self.dtype, remat=self.remat, name="cross_attn",
         )(query, bev_pos, cam_feats, ref_cam, per_cam_mask, query_depth,
           pred_depth)
         query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
@@ -368,6 +380,7 @@ class BackwardProjection(nn.Module):
     dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
     max_queries_per_cam: int | None = None
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, cam_feats, lss_bev, cam: geometry.CamParams,
@@ -419,7 +432,7 @@ class BackwardProjection(nn.Module):
                 feedforward_channels=self.feedforward_channels,
                 num_cams=N, dbound=self.dbound,
                 max_queries_per_cam=self.max_queries_per_cam,
-                dtype=self.dtype,
+                dtype=self.dtype, remat=self.remat,
                 name=f"layer{i}",
             )(query, bev_pos, ref_2d, (H, W), cam_feats, ref_cam,
               per_cam_mask, query_depth, pred_depth)

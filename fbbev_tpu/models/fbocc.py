@@ -188,7 +188,8 @@ class FBOCC(nn.Module):
                 input_size=self.input_size,
                 dbound=tuple(gc["depth"]),
                 max_queries_per_cam=self.max_queries_per_cam,
-                dtype=self.dtype, name="backward_projection")
+                dtype=self.dtype, remat=self.remat,
+                name="backward_projection")
         self.img_bev_encoder_backbone = CustomResNet3D(
             block_inplanes=tuple(self.voxel_channels),
             block_strides=(1, 2, 2), out_indices=(0, 1, 2),

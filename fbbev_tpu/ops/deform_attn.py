@@ -45,7 +45,8 @@ def _bilinear_corners(loc: jnp.ndarray, H: int, W: int):
 
 def bilinear_sample_onehot(value: jnp.ndarray, spatial_shape: Tuple[int, int],
                            loc: jnp.ndarray,
-                           chunk: int = 8192) -> jnp.ndarray:
+                           chunk: int = 8192,
+                           remat: bool = False) -> jnp.ndarray:
     """Bilinear sampling as a one-hot matmul (MXU) instead of gathers.
 
     TPU gathers run at a tiny fraction of HBM bandwidth; for small value
@@ -82,6 +83,11 @@ def bilinear_sample_onehot(value: jnp.ndarray, spatial_shape: Tuple[int, int],
                        * w[:, c][..., None]).astype(value.dtype)
         return _, jnp.einsum("bsv,bvc->bsc", oh, value)
 
+    if remat:
+        # drop the per-chunk one-hot from the scan residuals (at flagship
+        # training shapes the stacked oh buffers are ~4 GB each) and
+        # rebuild it in the backward pass instead
+        step = jax.checkpoint(step)
     _, out = jax.lax.scan(step, 0, (idxs, wgts))
     out = out.transpose(1, 0, 2, 3).reshape(B, S + pad, C)
     return out[:, :S]
@@ -90,7 +96,8 @@ def bilinear_sample_onehot(value: jnp.ndarray, spatial_shape: Tuple[int, int],
 def deformable_sample_attend(value: jnp.ndarray,
                              spatial_shape: Tuple[int, int],
                              loc: jnp.ndarray, attn: jnp.ndarray,
-                             chunk_q: int = 128) -> jnp.ndarray:
+                             chunk_q: int = 128,
+                             remat: bool = False) -> jnp.ndarray:
     """Fused deformable-attention sampling + weighting, one-hot matmul form.
 
     Samples the *full* channel vector per point on the MXU, weights by
@@ -141,6 +148,8 @@ def deformable_sample_attend(value: jnp.ndarray,
                          head_mask.astype(jnp.float32))
         return _, out
 
+    if remat:
+        step = jax.checkpoint(step)  # see bilinear_sample_onehot
     _, out = jax.lax.scan(step, 0, (idxs, wgts, attn_c))
     out = out.transpose(1, 0, 2, 3).reshape(B, Q + pad, C)
     return out[:, :Q]

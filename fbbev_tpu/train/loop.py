@@ -164,6 +164,17 @@ def train(cfg: Config, max_iters: Optional[int] = None,
     temporal_start = cfg.get("temporal_start_iter", 0)
     log_interval = cfg.get("log_interval", 50)
     ckpt_interval = cfg.get("checkpoint_interval", 1000)
+    # metric sinks (the reference's log_config.hooks: Text/CSV always;
+    # Tensorboard / webhook opt-in via config)
+    from fbbev_tpu.utils import CsvLogger
+    sinks = [CsvLogger(work_dir)]
+    if cfg.get("tensorboard"):
+        from fbbev_tpu.utils.logging_hooks import TensorboardLogger
+        sinks.append(TensorboardLogger(work_dir))
+    if cfg.get("webhook_url"):
+        from fbbev_tpu.utils import WebhookLogger
+        sinks.append(WebhookLogger(cfg.get("webhook_url"),
+                                   every=cfg.get("webhook_every", 1)))
     history = []
     t0 = time.perf_counter()
     step0 = int(state.step)
@@ -192,6 +203,8 @@ def train(cfg: Config, max_iters: Optional[int] = None,
                 print(json.dumps(
                     {k: round(v, 5) if isinstance(v, float) else v
                      for k, v in m.items()}))
+                for sink in sinks:
+                    sink(m)
             if (i + 1) % ckpt_interval == 0 or i + 1 == total:
                 save_checkpoint(ckpt_dir, state)
             batch = next_batch

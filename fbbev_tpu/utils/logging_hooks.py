@@ -60,3 +60,92 @@ class WebhookLogger:
                 return resp.status
         except Exception:
             return None  # logging must never kill training
+
+
+# ----------------------------------------------------------------------
+# TensorBoard event-file sink (dependency-free).
+#
+# The reference wires mmcv's TensorboardLoggerHook
+# (``log_config.hooks`` in its configs); TF is not a dependency here, so
+# the TFRecord + Event protobuf framing is hand-encoded: an events file
+# is a sequence of [len(u64) | masked-crc32c(len) | payload |
+# masked-crc32c(payload)] records whose payload is an Event proto with
+# (wall_time=1(double), step=2(int64), summary=5{ value=1{ tag=1(str),
+# simple_value=2(float) } }).
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _crc32c(data: bytes) -> int:
+    # CRC-32C (Castagnoli), bitwise; metric cadence makes speed irrelevant
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 * (crc & 1))
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+class TensorboardLogger:
+    """Writes scalar metrics as a TensorBoard events file under
+    ``<work_dir>/tf_logs`` (readable by tensorboard / tensorboardX)."""
+
+    def __init__(self, work_dir: str, step_key: str = "iter"):
+        import struct
+        import time as _time
+
+        self.step_key = step_key
+        log_dir = os.path.join(work_dir, "tf_logs")
+        os.makedirs(log_dir, exist_ok=True)
+        host = os.uname().nodename if hasattr(os, "uname") else "host"
+        self.path = os.path.join(
+            log_dir, f"events.out.tfevents.{int(_time.time())}.{host}")
+        self._struct = struct
+        # file-version header event
+        ev = (b"\x09" + struct.pack("<d", _time.time())
+              + b"\x1a" + _varint(len(b"brain.Event:2")) + b"brain.Event:2")
+        self._write_record(ev)
+
+    def _write_record(self, payload: bytes) -> None:
+        st = self._struct
+        hdr = st.pack("<Q", len(payload))
+        with open(self.path, "ab") as f:
+            f.write(hdr + st.pack("<I", _masked_crc(hdr)) + payload
+                    + st.pack("<I", _masked_crc(payload)))
+
+    def __call__(self, metrics: Dict[str, float]) -> None:
+        import time as _time
+
+        st = self._struct
+        step = int(metrics.get(self.step_key, 0))
+        values = b""
+        for k, v in metrics.items():
+            if k == self.step_key:
+                continue
+            try:
+                fv = float(v)
+            except (TypeError, ValueError):
+                continue
+            tag = k.encode()
+            val = (b"\x0a" + _varint(len(tag)) + tag
+                   + b"\x15" + st.pack("<f", fv))
+            values += b"\x0a" + _varint(len(val)) + val
+        ev = (b"\x09" + st.pack("<d", _time.time())
+              + b"\x10" + _varint(step)
+              + b"\x2a" + _varint(len(values)) + values)
+        self._write_record(ev)

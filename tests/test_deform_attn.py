@@ -121,3 +121,35 @@ def test_grid_tiled_self_attention_matches_dense(rng):
         tile=4, slab=16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=1e-4)
+
+
+def test_deformable_sample_attend_remat_grads_match():
+    """remat=True (scan-body rematerialisation for the training graph's
+    one-hot residuals) must be gradient-identical to remat=False."""
+    import jax
+
+    from fbbev_tpu.ops.deform_attn import (
+        bilinear_sample_onehot, deformable_sample_attend)
+
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(2, 48, 4, 8).astype(np.float32))
+    loc = jnp.asarray(rng.rand(2, 16, 4, 4, 2).astype(np.float32))
+    attn = jnp.asarray(rng.rand(2, 16, 4, 4).astype(np.float32))
+
+    def loss(v, remat):
+        return jnp.sum(deformable_sample_attend(
+            v, (6, 8), loc, attn, chunk_q=8, remat=remat) ** 2)
+
+    g0 = jax.grad(lambda v: loss(v, False))(v)
+    g1 = jax.grad(lambda v: loss(v, True))(v)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-5)
+
+    vb = jnp.asarray(rng.randn(2, 48, 8).astype(np.float32))
+    locb = jnp.asarray(rng.rand(2, 32, 2).astype(np.float32))
+    gb0 = jax.grad(lambda v: jnp.sum(bilinear_sample_onehot(
+        v, (6, 8), locb, chunk=16) ** 2))(vb)
+    gb1 = jax.grad(lambda v: jnp.sum(bilinear_sample_onehot(
+        v, (6, 8), locb, chunk=16, remat=True) ** 2))(vb)
+    np.testing.assert_allclose(np.asarray(gb0), np.asarray(gb1),
+                               rtol=1e-5, atol=1e-5)

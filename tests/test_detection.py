@@ -200,3 +200,51 @@ def test_detection_metric_aae():
     m2.add_sample(gt[:1], np.array([0.9]), np.array([0]),
                   gt[:1], np.array([0]))
     assert m2.compute()["mAAE"] == 0.0
+
+
+def test_rotated_iou_monte_carlo():
+    """rotated_iou vs a point-sampling oracle on random rotated boxes."""
+    from fbbev_tpu.ops.boxes import rotated_iou
+
+    rng = np.random.RandomState(0)
+    N = 12
+    boxes = np.stack([
+        rng.uniform(-2, 2, N), rng.uniform(-2, 2, N),
+        rng.uniform(0.5, 3, N), rng.uniform(0.5, 3, N),
+        rng.uniform(-np.pi, np.pi, N)], axis=1).astype(np.float32)
+
+    got = np.asarray(rotated_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+    assert np.allclose(np.diag(got), 1.0, atol=1e-4)
+
+    # Monte-Carlo oracle
+    pts = rng.uniform(-5, 5, size=(200000, 2)).astype(np.float32)
+
+    def inside(b):
+        d = pts - b[:2]
+        c, s = np.cos(b[4]), np.sin(b[4])
+        lx = c * d[:, 0] + s * d[:, 1]
+        ly = -s * d[:, 0] + c * d[:, 1]
+        return (np.abs(lx) <= b[2] / 2) & (np.abs(ly) <= b[3] / 2)
+
+    masks = np.stack([inside(b) for b in boxes])
+    for i in range(N):
+        for j in range(i + 1, N):
+            inter = np.sum(masks[i] & masks[j])
+            union = np.sum(masks[i] | masks[j])
+            ref = inter / max(union, 1)
+            assert abs(got[i, j] - ref) < 0.02, (i, j, got[i, j], ref)
+            assert abs(got[i, j] - got[j, i]) < 1e-4
+
+
+def test_nms_rotated_axis_aligned():
+    from fbbev_tpu.ops.boxes import nms_rotated
+
+    boxes = jnp.asarray([
+        [0.0, 0.0, 2.0, 2.0, 0.0],     # kept (highest score)
+        [0.1, 0.0, 2.0, 2.0, 0.0],     # IoU ~0.82 -> suppressed
+        [5.0, 5.0, 2.0, 2.0, 1.0],     # far away -> kept
+        [0.0, 0.0, 2.0, 2.0, np.pi/2], # same square rotated 90deg -> sup
+    ], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    keep = np.asarray(nms_rotated(boxes, scores, 0.5))
+    assert keep.tolist() == [True, False, True, False]

@@ -40,3 +40,35 @@ def test_csv_logger(tmp_path):
     log({"iter": 2, "loss": 2.1})
     rows = open(log.path).read().strip().split("\n")
     assert rows[0] == "iter,loss" and len(rows) == 3
+
+
+def test_tensorboard_logger_format(tmp_path):
+    """The hand-encoded events file must round-trip through the Event
+    proto (record framing + masked CRCs + field encoding)."""
+    import struct
+
+    from fbbev_tpu.utils.logging_hooks import TensorboardLogger, _masked_crc
+
+    tb = TensorboardLogger(str(tmp_path))
+    tb({"iter": 7, "loss_total": 3.5, "note": "skipme"})
+    data = open(tb.path, "rb").read()
+    off, recs = 0, []
+    while off < len(data):
+        (ln,) = struct.unpack("<Q", data[off:off + 8])
+        (hc,) = struct.unpack("<I", data[off + 8:off + 12])
+        assert hc == _masked_crc(data[off:off + 8])
+        payload = data[off + 12:off + 12 + ln]
+        (pc,) = struct.unpack("<I", data[off + 12 + ln:off + 16 + ln])
+        assert pc == _masked_crc(payload)
+        recs.append(payload)
+        off += 16 + ln
+    assert len(recs) == 2  # version header + one metric event
+    try:
+        from tensorboard.compat.proto.event_pb2 import Event
+    except ImportError:
+        return
+    e = Event()
+    e.ParseFromString(recs[1])
+    assert e.step == 7
+    vals = {v.tag: v.simple_value for v in e.summary.value}
+    assert vals == {"loss_total": 3.5}
