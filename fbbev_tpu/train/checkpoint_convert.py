@@ -351,3 +351,58 @@ def _apply_fbocc_rules(b: _TreeBuilder) -> None:
            ndim=3)
     b.bn(f"{oh}.occ_pred_conv.1", ("occupancy_head", "pred_conv1", "bn"))
     b.conv(f"{oh}.occ_pred_conv.3", ("occupancy_head", "pred_conv2"), ndim=3)
+
+
+def convert_vovnet_backbone(b: _TreeBuilder, src: str = "img_backbone",
+                            dst: str = "img_backbone",
+                            spec_name: str = "V-99-eSE") -> None:
+    """VoVNetCP backbone rules.
+
+    Reference naming (``/root/reference/mmdet3d/models/backbones/vovnet.py``
+    conv3x3/conv1x1 Sequential keys): ``stem.stem_{i}/conv.weight``,
+    ``stage{n}.OSA{n}_{blk}.layers.{i}.OSA{n}_{blk}_{i}/conv.weight``,
+    ``...concat.OSA{n}_{blk}_concat/conv.weight``, ``...ese.fc.weight``.
+    """
+    from fbbev_tpu.models.vovnet import STAGE_SPECS
+    spec = STAGE_SPECS[spec_name]
+    for i in (1, 2, 3):
+        b.convbn(f"{src}.stem.stem_{i}/conv", f"{src}.stem.stem_{i}/norm",
+                 (dst, f"stem{i}"))
+    for stage in range(4):
+        n = stage + 2
+        for blk in range(spec["block_per_stage"][stage]):
+            p = f"{src}.stage{n}.OSA{n}_{blk + 1}"
+            d = (dst, f"stage{n}_{blk}")
+            for i in range(spec["layer_per_block"]):
+                b.convbn(f"{p}.layers.{i}.OSA{n}_{blk + 1}_{i}/conv",
+                         f"{p}.layers.{i}.OSA{n}_{blk + 1}_{i}/norm",
+                         d + (f"conv{i}",))
+            b.convbn(f"{p}.concat.OSA{n}_{blk + 1}_concat/conv",
+                     f"{p}.concat.OSA{n}_{blk + 1}_concat/norm",
+                     d + ("concat",))
+            b.conv(f"{p}.ese.fc", d + ("ese", "fc"))
+
+
+def convert_vovnet_checkpoint(sd: Dict[str, np.ndarray],
+                              spec_name: str = "V-99-eSE") -> Dict[str, Any]:
+    """Standalone VoVNet backbone conversion (e.g. a depth-pretrain
+    checkpoint for ``fbocc-vov99`` warm starts)."""
+    b = _TreeBuilder(sd)
+    convert_vovnet_backbone(b, spec_name=spec_name)
+    unused = [k for k in sd if k not in b.used
+              and not k.endswith("num_batches_tracked")]
+    return {"params": b.params, "batch_stats": b.batch_stats,
+            "unused_keys": unused}
+
+
+def export_vovnet_checkpoint(variables: Dict[str, Any],
+                             spec_name: str = "V-99-eSE"
+                             ) -> Dict[str, np.ndarray]:
+    import jax
+    b = _TreeBuilder({}, reverse=True,
+                     params=jax.tree.map(np.asarray,
+                                         dict(variables["params"])),
+                     batch_stats=jax.tree.map(np.asarray,
+                                              dict(variables["batch_stats"])))
+    convert_vovnet_backbone(b, spec_name=spec_name)
+    return b.sd

@@ -80,3 +80,49 @@ def test_fbocc_checkpoint_roundtrip():
             back[tree_name])[0])
         assert set(map(jax.tree_util.keystr, o)) == set(
             map(jax.tree_util.keystr, bks))
+
+
+def test_vovnet_converter_roundtrip_consumes_all():
+    """Export a real VoVNet-19 init to reference naming, re-import, and
+    check exact round-trip with every key consumed both ways."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbbev_tpu.models.vovnet import VoVNetCP
+    from fbbev_tpu.train.checkpoint_convert import (
+        convert_vovnet_checkpoint, export_vovnet_checkpoint)
+
+    spec = "V-19-slim-eSE" if "V-19-slim-eSE" in __import__(
+        "fbbev_tpu.models.vovnet", fromlist=["STAGE_SPECS"]
+    ).STAGE_SPECS else "V-99-eSE"
+    model = VoVNetCP(spec_name=spec, out_indices=(2, 3))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+    variables = {
+        "params": {"img_backbone": jax.tree.map(
+            np.asarray, dict(variables["params"]))},
+        "batch_stats": {"img_backbone": jax.tree.map(
+            np.asarray, dict(variables["batch_stats"]))}}
+
+    sd = export_vovnet_checkpoint(variables, spec_name=spec)
+    assert any(k.startswith("img_backbone.stem.stem_1/conv") for k in sd)
+    out = convert_vovnet_checkpoint(sd, spec_name=spec)
+    assert out["unused_keys"] == []
+
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(out["params"]))
+    # out params nested under img_backbone
+    got = out["params"]["img_backbone"]
+    ref = variables["params"]["img_backbone"]
+    ga = jax.tree_util.tree_leaves_with_path(got)
+    gb = dict(jax.tree_util.tree_leaves_with_path(ref))
+    assert len(ga) == len(gb)
+    for path, leaf in ga:
+        np.testing.assert_array_equal(leaf, gb[path])
+    gs = jax.tree_util.tree_leaves_with_path(
+        out["batch_stats"]["img_backbone"])
+    rs = dict(jax.tree_util.tree_leaves_with_path(
+        variables["batch_stats"]["img_backbone"]))
+    assert len(gs) == len(rs)
+    for path, leaf in gs:
+        np.testing.assert_array_equal(leaf, rs[path])
