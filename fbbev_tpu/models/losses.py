@@ -123,30 +123,33 @@ def sem_scal_loss(logits: jnp.ndarray, target: jnp.ndarray,
     """Per-class precision/recall/specificity loss over classes 1..C-2
     (semkitti.py:108-163; with 19 classes the loop covers 1..17)."""
     C = logits.shape[-1]
-    pred = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    valid = (target != ignore_index)
-    validf = valid.astype(jnp.float32)
-    total = jnp.zeros((), jnp.float32)
-    count = jnp.zeros((), jnp.float32)
+    pred = jax.nn.softmax(
+        logits.astype(jnp.float32), axis=-1).reshape(-1, C)
+    labels = target.reshape(-1)
+    valid = labels != ignore_index
+    validf = valid.astype(jnp.float32)[:, None]
+    # all classes batched through one set of (N, C) reductions (the
+    # per-class python loop multiplied the emitted TPU code by ~17,
+    # docs/ROUND2.md code-size bisect)
+    P = pred * validf
+    T = jax.nn.one_hot(labels, C, dtype=jnp.float32) * validf
+    nom = jnp.sum(P * T, axis=0)
+    sum_p = jnp.sum(P, axis=0)
+    sum_t = jnp.sum(T, axis=0)
+    not_t = validf - T
+    sum_not_t = jnp.sum(not_t, axis=0)
+    spec_num = jnp.sum((validf - P) * not_t, axis=0)
+    precision = nom / (sum_p + 1e-5)
+    recall = nom / (sum_t + 1e-5)
+    specificity = spec_num / (sum_not_t + 1e-5)
+    loss_c = (jnp.where(sum_p > 0, _neg_log(precision), 0.0)
+              + _neg_log(recall)
+              + jnp.where(sum_not_t > 0, _neg_log(specificity), 0.0))
     begin = 1 if C == 19 else 0
-    for i in range(begin, C - 1):
-        p = pred[..., i] * validf
-        t = ((target == i) & valid).astype(jnp.float32)
-        present = jnp.sum(t) > 0
-        nominator = jnp.sum(p * t)
-        prec_ok = jnp.sum(p) > 0
-        precision = nominator / (jnp.sum(p) + 1e-5)
-        recall = nominator / (jnp.sum(t) + 1e-5)
-        not_t = validf * (1.0 - t)
-        spec_ok = jnp.sum(not_t) > 0
-        specificity = jnp.sum((validf - p) * not_t) / (jnp.sum(not_t) + 1e-5)
-        loss_class = (
-            jnp.where(prec_ok, _neg_log(precision), 0.0)
-            + _neg_log(recall)
-            + jnp.where(spec_ok, _neg_log(specificity), 0.0)
-        )
-        total = total + jnp.where(present, loss_class, 0.0)
-        count = count + present.astype(jnp.float32)
+    in_range = (jnp.arange(C) >= begin) & (jnp.arange(C) < C - 1)
+    present = (sum_t > 0) & in_range
+    total = jnp.sum(jnp.where(present, loss_c, 0.0))
+    count = jnp.sum(present.astype(jnp.float32))
     return total / jnp.maximum(count, 1.0)
 
 
@@ -163,23 +166,27 @@ def lovasz_softmax_loss(logits: jnp.ndarray, target: jnp.ndarray,
     labels = target.reshape(-1)
     valid = labels != ignore_index
 
-    total = jnp.zeros((), jnp.float32)
-    count = jnp.zeros((), jnp.float32)
-    for c in range(C):
-        fg = ((labels == c) & valid).astype(jnp.float32)
-        present = jnp.sum(fg) > 0
-        errors = jnp.where(valid, jnp.abs(fg - probas[:, c]), 0.0)
-        order = jnp.argsort(-errors)
-        errors_sorted = errors[order]
-        fg_sorted = fg[order]
-        gts = jnp.sum(fg_sorted)
-        inter = gts - jnp.cumsum(fg_sorted)
-        union = gts + jnp.cumsum(1.0 - fg_sorted)
-        jaccard = 1.0 - inter / union
-        grad = jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
-        loss_c = jnp.dot(jnp.maximum(errors_sorted, 0.0), grad)
-        total = total + jnp.where(present, loss_c, 0.0)
-        count = count + present.astype(jnp.float32)
+    # all classes through ONE batched multi-operand sort: the earlier
+    # per-class python loop lowered 19 separate 640k-element sorts, which
+    # alone emitted ~300 MB of TPU code in the training graph
+    # (docs/ROUND2.md); lax.sort with co-sorted values also removes the
+    # argsort + take_along_axis gather pair.
+    fg = (jax.nn.one_hot(labels, C, dtype=jnp.float32)
+          * valid[:, None].astype(jnp.float32))        # (N, C)
+    errors = jnp.where(valid[:, None], jnp.abs(fg - probas), 0.0)
+    neg_err_t = -errors.T                               # (C, N)
+    _, errors_sorted, fg_sorted = jax.lax.sort(
+        (neg_err_t, errors.T, fg.T), dimension=1, num_keys=1)
+    gts = jnp.sum(fg_sorted, axis=1, keepdims=True)     # (C, 1)
+    inter = gts - jnp.cumsum(fg_sorted, axis=1)
+    union = gts + jnp.cumsum(1.0 - fg_sorted, axis=1)
+    jaccard = 1.0 - inter / union
+    grad = jnp.concatenate(
+        [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=1)
+    loss_c = jnp.sum(jnp.maximum(errors_sorted, 0.0) * grad, axis=1)
+    present = gts[:, 0] > 0
+    total = jnp.sum(jnp.where(present, loss_c, 0.0))
+    count = jnp.sum(present.astype(jnp.float32))
     return total / jnp.maximum(count, 1.0)
 
 
