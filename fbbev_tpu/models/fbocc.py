@@ -190,10 +190,16 @@ class FBOCC(nn.Module):
                 max_queries_per_cam=self.max_queries_per_cam,
                 dtype=self.dtype, remat=self.remat,
                 name="backward_projection")
+        # NOTE: no remat on the 3D encoder -- nn.remat x bf16 x the z-slab
+        # conv decomposition crashes the v5e worker at execution on
+        # 100x100x8 grids (standalone bisect matrix, docs/ROUND2.md:
+        # each pairwise combination passes, all three together fault).
+        # Activations here are small, so remat buys little anyway; the
+        # image backbone keeps remat (where the memory actually is).
         self.img_bev_encoder_backbone = CustomResNet3D(
             block_inplanes=tuple(self.voxel_channels),
             block_strides=(1, 2, 2), out_indices=(0, 1, 2),
-            dtype=self.dtype, remat=self.remat,
+            dtype=self.dtype, remat=False,
             name="img_bev_encoder_backbone")
         self.img_bev_encoder_neck = FPN3D(
             in_channels=tuple(self.voxel_channels),
