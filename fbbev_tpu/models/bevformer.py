@@ -62,6 +62,18 @@ def _msda_offset_bias_init(num_heads: int, num_levels: int, num_points: int,
     return init
 
 
+
+
+def _use_pallas_sampling(train: bool) -> bool:
+    """Eval-graph TPU gate for the Pallas one-hot sampling kernel
+    (2 ms faster than the XLA scan at flagship shapes, docs/PERF.md;
+    no custom VJP yet, so training keeps the XLA path)."""
+    import os
+    if train or os.environ.get("FBBEV_DISABLE_PALLAS_SAMPLE") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 class LearnedPositionalEncoding(nn.Module):
     """Learned row+col BEV positional map -> (B, H, W, 2*num_feats);
     channels = [col-embed(x) ; row-embed(y)]."""
@@ -156,7 +168,7 @@ class DepthAwareDeformableAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, value, ref_points, spatial_shape,
-                 query_depth_onehot, pred_depth):
+                 query_depth_onehot, pred_depth, train: bool = False):
         """Args:
           query: (B', Q, C)  where B' folds (batch, camera).
           value: (B', V, C) flattened camera features.
@@ -198,6 +210,9 @@ class DepthAwareDeformableAttention(nn.Module):
         # distribution at each z-anchor's reference point, dot with the
         # query's depth-bin one-hot -> scalar weight per (query, anchor).
         DC = pred_depth.shape[-1]
+        # K=1 f32 depth sampling stays on the XLA one-hot path: the Pallas
+        # kernel measured neutral-to-slower here (bench 20.56 -> 20.11),
+        # unlike the K=64 bf16 main attend where it wins ~2 ms.
         depth_at_ref = bilinear_sample_onehot(
             pred_depth.astype(jnp.float32), (H, W),
             ref_points.reshape(Bp, Q * Z, 2),
@@ -208,9 +223,15 @@ class DepthAwareDeformableAttention(nn.Module):
         depth_w = depth_w.reshape(Bp, Q, P)
         attn = attn * depth_w[:, :, None, None, :]
 
-        out = deformable_sample_attend(
-            v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0],
-            remat=self.remat)
+        if _use_pallas_sampling(train):
+            from fbbev_tpu.ops.pallas_sample import (
+                deformable_sample_attend_pallas)
+            out = deformable_sample_attend_pallas(
+                v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
+        else:
+            out = deformable_sample_attend(
+                v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0],
+                remat=self.remat)
         return out  # no output_proj here (it lives in the outer SCA)
 
 
@@ -240,7 +261,7 @@ class DepthAwareSpatialCrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, query_pos, cam_feats, ref_cam, per_cam_mask,
-                 query_depth, pred_depth):
+                 query_depth, pred_depth, train: bool = False):
         """Args:
           query: (B, Q, C) BEV queries.
           query_pos: (B, Q, C).
@@ -281,7 +302,7 @@ class DepthAwareSpatialCrossAttention(nn.Module):
                 B * N, Q, C)
             ref = ref_cam.reshape(B * N, Q, Z, 2)
             oh = onehot.reshape(B * N, Q, Z, DC)
-            out = attention(qd, value, ref, (Hf, Wf), oh, pd)
+            out = attention(qd, value, ref, (Hf, Wf), oh, pd, train)
             out = out.reshape(B, N, Q, C)
             slots = jnp.sum(out * query_valid[..., None], axis=1)
         else:
@@ -298,7 +319,7 @@ class DepthAwareSpatialCrossAttention(nn.Module):
             oh = jnp.take_along_axis(
                 onehot, idx[..., None, None], axis=2).reshape(
                 B * N, K, Z, DC)
-            out = attention(qd, value, ref, (Hf, Wf), oh, pd)
+            out = attention(qd, value, ref, (Hf, Wf), oh, pd, train)
             out = out.reshape(B, N, K, C) * sel_valid[..., None]
             # scatter-add back to the full query set
             seg = (jnp.arange(B)[:, None, None] * Q + idx).reshape(-1)
@@ -343,7 +364,8 @@ class BEVFormerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, bev_pos, ref_2d, bev_hw, cam_feats, ref_cam,
-                 per_cam_mask, query_depth, pred_depth):
+                 per_cam_mask, query_depth, pred_depth,
+                 train: bool = False):
         query = DeformableSelfAttention(
             embed_dims=self.embed_dims, dtype=self.dtype,
             remat=self.remat,
@@ -355,7 +377,7 @@ class BEVFormerEncoderLayer(nn.Module):
             max_queries_per_cam=self.max_queries_per_cam,
             dtype=self.dtype, remat=self.remat, name="cross_attn",
         )(query, bev_pos, cam_feats, ref_cam, per_cam_mask, query_depth,
-          pred_depth)
+          pred_depth, train)
         query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
         query = FFN(embed_dims=self.embed_dims,
                     feedforward_channels=self.feedforward_channels,
@@ -435,6 +457,6 @@ class BackwardProjection(nn.Module):
                 dtype=self.dtype, remat=self.remat,
                 name=f"layer{i}",
             )(query, bev_pos, ref_2d, (H, W), cam_feats, ref_cam,
-              per_cam_mask, query_depth, pred_depth)
+              per_cam_mask, query_depth, pred_depth, train)
 
         return query.reshape(B, H, W, C)

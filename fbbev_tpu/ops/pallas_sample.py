@@ -42,23 +42,28 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(v_ref, xs_ref, ys_ref, w_ref, o_ref, *, H, Wp, TQ, K, C,
             heads, hd):
     R = TQ * K
-    # coord blocks are (1, 1, R, 1): rows already in sublanes, no relayout
-    xs = xs_ref[0, 0]
-    ys = ys_ref[0, 0]
-    wr = w_ref[0, 0]
+    # coord blocks are (1, 1, 1, R): sample rows live in LANES, so the
+    # caller-side prep is a free contiguous reshape (the earlier
+    # rows-in-sublanes layout forced ~1.3 ms/array of 128x-padded HBM
+    # relayout, docs/PERF.md).  The one-hot is built TRANSPOSED (HW, R)
+    # and contracted over its leading (sublane) dim -- the MXU's
+    # preferred lhs-transposed form -- so nothing ever relayouts.
+    xs = xs_ref[0, 0, 0]  # (1, R)
+    ys = ys_ref[0, 0, 0]
+    wr = w_ref[0, 0, 0]
 
-    # tent-product one-hot over the Wp-padded (lane-aligned) map; padded
-    # columns x >= W never overlap a sample's tent, contributing zeros
-    i = lax.broadcasted_iota(jnp.int32, (1, H * Wp), 1)
+    # padded columns x >= W never overlap a sample's tent -> zeros
+    i = lax.broadcasted_iota(jnp.int32, (H * Wp, 1), 0)
     ix = (i % Wp).astype(jnp.float32)
     iy = (i // Wp).astype(jnp.float32)
 
-    oh = (jnp.maximum(1.0 - jnp.abs(xs - ix), 0.0)
-          * jnp.maximum(1.0 - jnp.abs(ys - iy), 0.0)
-          * wr)
+    ohT = (jnp.maximum(1.0 - jnp.abs(xs - ix), 0.0)
+           * jnp.maximum(1.0 - jnp.abs(ys - iy), 0.0)
+           * wr)  # (HW, R)
     v = v_ref[0]
-    sampled = jnp.dot(oh.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32)  # (R, C)
+    sampled = lax.dot_general(
+        ohT.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (R, C)
 
     if K == 1:
         o_ref[0, 0] = sampled
@@ -96,9 +101,9 @@ def _attend(value, spatial_shape, xs, ys, w, heads: int,
         TQ -= 1
     R = TQ * K
 
-    flat = lambda a: a.reshape(B, Q // TQ, R, 1)  # noqa: E731
+    flat = lambda a: a.reshape(B, Q // TQ, 1, R)  # noqa: E731
     grid = (B, Q // TQ)
-    coord_spec = pl.BlockSpec((1, 1, R, 1), lambda b, q: (b, q, 0, 0),
+    coord_spec = pl.BlockSpec((1, 1, 1, R), lambda b, q: (b, q, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, H=H, Wp=Wp, TQ=TQ, K=K, C=C,
