@@ -204,6 +204,11 @@ class ConvBN(nn.Module):
     act: Optional[Callable] = nn.relu
     dtype: Dtype = jnp.float32
     ndim: int = 2
+    # opt out of the decomposed conv formulations for this instance
+    # (e.g. convs whose outputs feed a Pallas kernel -- the z-slab
+    # decomposition composed with other graph structures faults the v5e
+    # worker, docs/ROUND2.md)
+    force_native: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -219,14 +224,14 @@ class ConvBN(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * self.ndim
-        if ("zslab" not in _DISABLED_DECOMP
+        if ("zslab" not in _DISABLED_DECOMP and not self.force_native
                 and self.ndim == 3 and ks == (3, 3, 3) and dl == (1, 1, 1)
                 and pad == [(1, 1)] * 3 and st[0] == st[1] == st[2]
                 and st[0] in (1, 2)):
             x = Conv3DZSlab(self.features, strides=st[0],
                             use_bias=self.use_bias, dtype=self.dtype,
                             name="conv")(x)
-        elif ("pointwise" not in _DISABLED_DECOMP
+        elif ("pointwise" not in _DISABLED_DECOMP and not self.force_native
               and not (train and _POINTWISE_EVAL_ONLY)
               and self.ndim == 3 and ks == (1, 1, 1)
               and st[0] == st[1] == st[2]):

@@ -111,15 +111,16 @@ def main():
         start_of_sequence=jnp.zeros((B,), bool),
         sequence_group_idx=jnp.zeros((B,), jnp.int32),
         curr_to_prev_ego_rt=jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
-    model = FBOCC(dtype=jnp.bfloat16)
+    model = FBOCC(dtype=jnp.bfloat16, remat=args.train)
     tstate = init_temporal_state(B, (100, 100, 8), 16, 80,
                                  dtype=jnp.bfloat16)
 
     if args.train:
         from fbbev_tpu.train import Trainer
-        batch["gt_occupancy"] = jnp.zeros((B, 100, 100, 8), jnp.int32)
+        batch["gt_occupancy"] = jnp.zeros((B, 200, 200, 16), jnp.int32)
         batch["gt_depth"] = jnp.zeros((B, N, 256, 704), jnp.float32)
-        trainer = Trainer(model)
+        trainer = Trainer(model, donate_state=False)  # args reused
+        # (donation would invalidate fargs across profiler iterations)
         state = trainer.init_state(jax.random.PRNGKey(0), batch, tstate)
         fn = lambda s, t, b: trainer.train_step(s, t, b)  # noqa: E731
         fargs = (state, tstate, batch)
