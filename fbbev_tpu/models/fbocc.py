@@ -216,9 +216,10 @@ class FBOCC(nn.Module):
                 in_channels=self.voxel_out_channels, dtype=self.dtype,
                 name="pts_bbox_head")
         # temporal fusion convs (fbocc.py:110-127)
-        self.history_keyframe_time_conv = ConvBN(
-            self.single_bev_num_channels, 1, padding=0, ndim=3,
-            use_bias=True, dtype=self.dtype, name="history_time_conv")
+        from fbbev_tpu.models.layers import TimeEmbedConvBN
+        self.history_keyframe_time_conv = TimeEmbedConvBN(
+            self.single_bev_num_channels, dtype=self.dtype,
+            name="history_time_conv")
         self.history_keyframe_cat_conv = ConvBN(
             self.history_cat_conv_out_channels, 1, padding=0, ndim=3,
             use_bias=True, dtype=self.dtype, name="history_cat_conv")
@@ -334,9 +335,10 @@ class FBOCC(nn.Module):
         t_emb = jnp.broadcast_to(
             (sweep_cat * 0.5)[:, None, :], (B, nz, T + 1)).reshape(
             B, 1, 1, nz * (T + 1), 1)
-        t_emb = jnp.broadcast_to(t_emb, (B, ny, nx, nz * (T + 1), 1))
-        frames = jnp.concatenate([frames, t_emb.astype(frames.dtype)], -1)
-        frames = self.history_keyframe_time_conv(frames, train)
+        # the 1-channel time embedding is folded into the conv
+        # algebraically (TimeEmbedConvBN) instead of concatenated -- the
+        # concat rewrote ~220 MB of HBM per frame for one extra channel
+        frames = self.history_keyframe_time_conv(frames, t_emb, train)
         frames = frames.reshape(B, ny, nx, nz, (T + 1) * C)
         fused = self.history_keyframe_cat_conv(frames, train)
 

@@ -425,3 +425,45 @@ def resize_trilinear(x, out_dhw, align_corners: bool = False):
     grid = jnp.broadcast_to(
         jnp.stack([gx, gy, gz], -1)[None], (B, od, oh, ow, 3))
     return grid_sample_3d(x, grid, align_corners=True)
+
+
+class _SplitPointwiseConv(nn.Module):
+    """1x1x1 conv over the concat [x, e] without materialising it: the
+    trailing input channel (a broadcastable embedding) contributes
+    ``e * kernel[..., -1, :]``.  Param layout matches ``nn.Conv`` with
+    ``Cin = x.C + 1``."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, e):
+        Cin = x.shape[-1] + 1
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, Cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.reshape(Cin, self.features).astype(self.dtype)
+        y = jnp.einsum("...c,co->...o", x.astype(self.dtype), k[:-1])
+        y = y + e.astype(self.dtype) * k[-1] + bias.astype(self.dtype)
+        return y
+
+
+class TimeEmbedConvBN(nn.Module):
+    """ConvBN(features, 1, ndim=3, use_bias=True) over ``concat([x, e])``
+    with the concat algebraically removed -- the reference's SoloFusion
+    per-keyframe time-embedding conv (fbocc.py:110-118) concatenates a
+    1-channel time embedding onto the (T+1)*C-channel frame stack; at
+    flagship shapes that concat rewrites ~220 MB of HBM per frame for a
+    0.7% channel add (docs/PERF.md r2).  Param tree is identical to the
+    ConvBN it replaces (conv/kernel (1,1,1,C+1,F), conv/bias, bn/*)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, e, train: bool = False):
+        y = _SplitPointwiseConv(self.features, dtype=self.dtype,
+                                name="conv")(x, e)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(y)
+        return nn.relu(y)
