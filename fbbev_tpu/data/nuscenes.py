@@ -70,7 +70,8 @@ class NuScenesDataset:
                  ego_cam: str = "CAM_FRONT",
                  seed: int = 0,
                  tta_config: Optional[Dict] = None,
-                 cam_names: Optional[Sequence[str]] = None):
+                 cam_names: Optional[Sequence[str]] = None,
+                 max_boxes: int = 300):
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
         infos = data["infos"] if isinstance(data, dict) else data
@@ -87,6 +88,7 @@ class NuScenesDataset:
         self.load_occupancy = load_occupancy
         self.fix_void = fix_void
         self.ego_cam = ego_cam
+        self.max_boxes = max_boxes
         if cam_names is not None:
             self.CAM_NAMES = tuple(cam_names)
         self.flag = compute_sequence_flags(self.infos, sequences_split_num)
@@ -168,12 +170,28 @@ class NuScenesDataset:
         sample["index"] = np.int32(index)
 
         if "ann_infos" in info:
-            boxes, labels = info["ann_infos"]
+            ann = info["ann_infos"]
+            boxes, labels = ann[0], ann[1]
+            attrs = list(ann[2]) if len(ann) > 2 else None
             boxes = np.asarray(boxes, np.float32).reshape(-1, 9)
             boxes, _ = T.transform_boxes_bda(
                 boxes, rotate_bda, scale_bda, flip_dx, flip_dy)
-            sample["gt_boxes"] = boxes
-            sample["gt_labels"] = np.asarray(labels, np.int64)
+            # pad to a fixed count so batches collate/jit with static
+            # shapes; label -1 marks padding (centerpoint_targets and
+            # DetectionMetric both ignore it)
+            n = min(len(boxes), self.max_boxes)
+            out_boxes = np.zeros((self.max_boxes, 9), np.float32)
+            out_labels = np.full((self.max_boxes,), -1, np.int64)
+            out_boxes[:n] = boxes[:n]
+            out_labels[:n] = np.asarray(labels, np.int64)[:n]
+            sample["gt_boxes"] = out_boxes
+            sample["gt_labels"] = out_labels
+            if attrs is not None and not self.is_train:
+                # annotated attribute names for the NDS mAAE term
+                # (host-side strings; excluded from device batches)
+                out_attrs = np.full((self.max_boxes,), "", dtype="<U48")
+                out_attrs[:n] = np.asarray(attrs, dtype="<U48")[:n]
+                sample["gt_attrs"] = out_attrs
 
         if self.load_occupancy and self.occupancy_path is not None:
             occ = T.load_occupancy_gt(

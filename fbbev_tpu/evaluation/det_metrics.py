@@ -15,12 +15,15 @@ the reference through the devkit
 
 The model predicts no attributes (neither does the reference's CenterPoint
 head); like the reference's submission writer
-(``nuscenes_dataset.py:496-515``), the attribute is derived from class +
-speed: moving vehicles -> 'vehicle.moving', moving cycles ->
+(``nuscenes_dataset.py:496-515``), the *predicted* attribute is derived
+from class + speed: moving vehicles -> 'vehicle.moving', moving cycles ->
 'cycle.with_rider', slow pedestrians -> 'pedestrian.standing', slow buses
--> 'vehicle.stopped', else the per-class default.  Classes without
-attributes (barrier, traffic_cone) are excluded from mAAE, matching the
-devkit.
+-> 'vehicle.stopped', else the per-class default.  GT attributes come from
+the annotated names when the loader provides them (``gt_attrs``, plumbed
+from the info pickles); the heuristic is only the fallback.  Per the
+devkit: barrier is excluded from mAVE/mAAE, traffic_cone from
+mAOE/mAVE/mAAE, and TP entries whose GT has no attribute are excluded
+from mAAE.
 """
 
 from __future__ import annotations
@@ -168,6 +171,14 @@ class DetectionMetric:
         return float(p_interp.sum() / ((1 - MIN_RECALL)
                                        * (1 - MIN_PRECISION) * 101))
 
+    # devkit convention (nuscenes-devkit evaluate.py): barrier has no
+    # velocity/attribute; traffic_cone additionally has no orientation --
+    # those TP errors are excluded (np.nan) from the class means.
+    TP_EXCLUDE = {
+        "barrier": ("ave", "aae"),
+        "traffic_cone": ("aoe", "ave", "aae"),
+    }
+
     def compute(self) -> Dict[str, float]:
         aps = {}
         tp_errs = {k: [] for k in ("ate", "ase", "aoe", "ave", "aae")}
@@ -175,7 +186,10 @@ class DetectionMetric:
             class_aps = [self._class_ap(cname, t) for t in DIST_THRESHOLDS]
             aps[cname] = float(np.nanmean(class_aps))
             errs = [e[2] for e in self.preds[cname] if e[2] is not None]
+            excluded = self.TP_EXCLUDE.get(cname, ())
             for k in tp_errs:
+                if k in excluded:
+                    continue
                 vals = [er[k] for er in errs] if errs else []
                 vals = [v for v in vals if v is not None]
                 if vals:

@@ -64,14 +64,22 @@ def _msda_offset_bias_init(num_heads: int, num_levels: int, num_points: int,
 
 
 
-def _use_pallas_sampling(train: bool) -> bool:
+def _use_pallas_sampling(train: bool, spatial_shape=None, C: int = 0,
+                         Q: int = 0, K: int = 0) -> bool:
     """Eval-graph TPU gate for the Pallas one-hot sampling kernel
     (2 ms faster than the XLA scan at flagship shapes, docs/PERF.md;
-    no custom VJP yet, so training keeps the XLA path)."""
+    no custom VJP yet, so training keeps the XLA path).  Shapes are
+    checked against the kernel's VMEM working set so an oversized
+    feature level falls back to XLA instead of failing Mosaic."""
     import os
     if train or os.environ.get("FBBEV_DISABLE_PALLAS_SAMPLE") == "1":
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    if spatial_shape is not None:
+        from fbbev_tpu.ops.pallas_sample import supports
+        return supports(spatial_shape, C, Q, K)
+    return True
 
 
 class LearnedPositionalEncoding(nn.Module):
@@ -223,7 +231,7 @@ class DepthAwareDeformableAttention(nn.Module):
         depth_w = depth_w.reshape(Bp, Q, P)
         attn = attn * depth_w[:, :, None, None, :]
 
-        if _use_pallas_sampling(train):
+        if _use_pallas_sampling(train, (H, W), C, Q, heads * P):
             from fbbev_tpu.ops.pallas_sample import (
                 deformable_sample_attend_pallas)
             out = deformable_sample_attend_pallas(

@@ -32,7 +32,7 @@ from fbbev_tpu.models.bevformer import BackwardProjection
 from fbbev_tpu.models.depth_net import CM_DepthNet
 from fbbev_tpu.models.fpn import CustomFPN
 from fbbev_tpu.models.fpn3d import FPN3D
-from fbbev_tpu.models.layers import ConvBN
+
 from fbbev_tpu.models.lss import LSSViewTransformer3D
 from fbbev_tpu.models.occ_head import OccHead
 from fbbev_tpu.models.resnet import ResNet
@@ -42,9 +42,23 @@ from fbbev_tpu.registry import DETECTORS
 
 
 class TemporalState(NamedTuple):
-    """SoloFusion history ring buffer, an explicit functional carry."""
+    """SoloFusion history ring buffer, an explicit functional carry.
 
-    history_bev: jnp.ndarray     # (B, Y, X, Z, T*C), stop-gradient'd
+    ``history_bev`` is stored Z-MAJOR -- (B, Z, Y, X, T*C) -- the layout
+    both warp formulations consume, so no per-frame relayout is ever paid
+    (the reference stores (B, T*C, Z, Y, X) contiguous for the same
+    reason, ``fbocc.py:252-275``).  Frame-slot semantics differ by path:
+
+    * XLA fallback (training / non-TPU): age-ordered channels exactly like
+      the reference (slot 0 = newest), shifted by C channels per frame;
+    * fused Pallas path (TPU eval): FIXED ring slots -- the oldest slot is
+      overwritten in place and ``sweep_time`` carries each slot's age
+      (see ops/pallas_fuse_warp.py).  Both carry the same (age -> tensor)
+      multiset; a state stream is only ever consumed by the path that
+      produced it.
+    """
+
+    history_bev: jnp.ndarray     # (B, Z, Y, X, T*C), stop-gradient'd
     sweep_time: jnp.ndarray      # (B, T) frames-ago counters
     seq_ids: jnp.ndarray         # (B,) scene-stream ids
     forward_augs: jnp.ndarray    # (B, 4, 4) BDA of the buffered frames
@@ -61,7 +75,7 @@ def init_temporal_state(batch: int, grid_size: Tuple[int, int, int],
     nx, ny, nz = grid_size
     return TemporalState(
         history_bev=jnp.zeros(
-            (batch, ny, nx, nz, history_cat_num * channels), dtype),
+            (batch, nz, ny, nx, history_cat_num * channels), dtype),
         sweep_time=jnp.zeros((batch, history_cat_num), jnp.float32),
         seq_ids=jnp.full((batch,), -1, jnp.int32),
         forward_augs=jnp.broadcast_to(jnp.eye(4), (batch, 4, 4)),
@@ -182,6 +196,7 @@ class FBOCC(nn.Module):
                 bev_w=int(self.forward_projection.nx[0]),
                 embed_dims=self.single_bev_num_channels,
                 feedforward_channels=self.single_bev_num_channels * 4,
+                pos_num_feats=self.single_bev_num_channels // 2,
                 pc_range=self.pc_range,
                 grid_config=self.bevformer_grid_config
                 or DEFAULT_BEVFORMER_GRID,
@@ -215,14 +230,16 @@ class FBOCC(nn.Module):
             self.pts_bbox_head = CenterHead(
                 in_channels=self.voxel_out_channels, dtype=self.dtype,
                 name="pts_bbox_head")
-        # temporal fusion convs (fbocc.py:110-127)
-        from fbbev_tpu.models.layers import TimeEmbedConvBN
+        # temporal fusion convs (fbocc.py:110-127); the cat conv accepts a
+        # per-sample weight-row permutation (ring-slot -> age order) for
+        # the fused Pallas fuse_history path, param tree unchanged
+        from fbbev_tpu.models.layers import RingCatConvBN, TimeEmbedConvBN
         self.history_keyframe_time_conv = TimeEmbedConvBN(
             self.single_bev_num_channels, dtype=self.dtype,
             name="history_time_conv")
-        self.history_keyframe_cat_conv = ConvBN(
-            self.history_cat_conv_out_channels, 1, padding=0, ndim=3,
-            use_bias=True, dtype=self.dtype, name="history_cat_conv")
+        self.history_keyframe_cat_conv = RingCatConvBN(
+            self.history_cat_conv_out_channels, dtype=self.dtype,
+            name="history_cat_conv")
 
     # ------------------------------------------------------------------
     def image_encoder(self, imgs, train: bool):
@@ -277,74 +294,144 @@ class FBOCC(nn.Module):
         seq_mismatch = jnp.logical_and(
             jnp.logical_not(start), state.seq_ids != seq_ids)
 
-        s5 = start[:, None, None, None, None]
-        tiled_curr = jnp.tile(curr_bev, (1, 1, 1, 1, T))
-        history_bev = jnp.where(s5, tiled_curr,
-                                state.history_bev.astype(self.dtype))
-        history_bev = jax.lax.stop_gradient(history_bev)
-        sweep_time = jnp.where(start[:, None], 0.0, state.sweep_time + 1.0)
+        # per-slot ages of the buffered frames, after this step's aging
+        sweep_r = jnp.where(start[:, None], 0.0, state.sweep_time + 1.0)
         hist_augs = jnp.where(start[:, None, None], forward_augs,
                               state.forward_augs)
 
         fp = self.forward_projection
         f2b = jnp.asarray(geometry.feat2bev_matrix(fp.dx, fp.bx))
-        hist_zyx = jnp.transpose(history_bev, (0, 3, 1, 2, 4))
-        from fbbev_tpu.ops import pallas_warp
+        import os
+        from fbbev_tpu.ops import pallas_fuse_warp, pallas_warp
         on_tpu = jax.devices()[0].platform == "tpu"
-        if (self.use_tiled_warp and not train and on_tpu
-                and pallas_warp.supports(hist_zyx.shape)):
-            # Pallas affine warp: exact trilinear, tent-product on the MXU,
-            # output written directly in (B, Y, X, Z, C) layout -- fuses
-            # away the post-warp transpose (measured 2.5 ms at flagship
-            # scale, docs/PERF.md)
+        # test hook: FBBEV_FORCE_FUSE_WARP=interpret runs the fused kernel
+        # through the Pallas interpreter on any platform
+        interpret = (not on_tpu and
+                     os.environ.get("FBBEV_FORCE_FUSE_WARP") == "interpret")
+        # OPT-IN for now (FBBEV_FUSE_WARP=1): the fused kernel is
+        # interpret-tested and standalone-correct, but its first full-graph
+        # TPU validation was blocked by a wedged chip lease (round-3 log);
+        # flip to default-on once the on-chip A/B run lands.
+        if (self.use_tiled_warp and not train and (on_tpu or interpret)
+                and (os.environ.get("FBBEV_FUSE_WARP") == "1" or interpret)
+                and os.environ.get("FBBEV_DISABLE_FUSE_WARP") != "1"
+                and pallas_fuse_warp.supports(state.history_bev.shape)):
+            # Fused Pallas path: one kernel does layout-free warp +
+            # start-reset + ring-slot update + concat (docs/PERF.md r3).
+            # Frames live in fixed ring slots; `perm` restores age order
+            # at the cat conv by permuting its weight rows.
             mat = pallas_warp.flow_matrix_from_grid_args(
                 hist_augs, forward_augs, curr_to_prev, f2b)
-            sampled = pallas_warp.warp_affine_3d(
-                hist_zyx, mat, out_zyx=False).astype(self.dtype)
+            # start samples: the kernel replaces every slot with the
+            # UNWARPED curr; force the identity flow so this matches the
+            # fallback's warp-of-tiled-curr (datasets set
+            # curr_to_prev_ego_rt = eye on sequence starts, under which
+            # the flow is exactly the identity -- data/nuscenes.py
+            # _temporal_meta, reference nuscenes_dataset.py:364-381)
+            eye4 = jnp.broadcast_to(jnp.eye(4, dtype=mat.dtype), mat.shape)
+            mat = jnp.where(start[:, None, None], eye4, mat)
+            hsel = jnp.argmax(sweep_r, axis=1).astype(jnp.int32)  # oldest
+            hist = jax.lax.stop_gradient(
+                state.history_bev.astype(self.dtype))
+            slots, new_hist = pallas_fuse_warp.fuse_warp(
+                hist, curr_bev, mat, start, hsel, interpret=interpret)
+            new_sweep = jnp.where(
+                jnp.arange(T)[None, :] == hsel[:, None], 0.0, sweep_r)
+
+            # time-embedding conv applied to the slots and curr SEPARATELY
+            # (same weights; the (T+1)-frame concat never materialises) --
+            # see the frame-fold note in the fallback branch below
+            frames_s = slots.reshape(B, ny, nx, nz * T, C)
+            temb_s = jnp.broadcast_to(
+                (sweep_r * 0.5)[:, None, :], (B, nz, T)).reshape(
+                B, 1, 1, nz * T, 1)
+            y1_s = self.history_keyframe_time_conv(
+                frames_s, temb_s, train).reshape(B, ny, nx, nz, T * C)
+            y1_c = self.history_keyframe_time_conv(
+                curr_bev, jnp.zeros((B, 1, 1, 1, 1), jnp.float32), train)
+            # cat conv over the split input, weight rows permuted from
+            # ring-slot order back to the reference's age order
+            ranks = jnp.argsort(jnp.argsort(sweep_r, axis=1,
+                                            stable=True), axis=1)
+            slot_rows = ((ranks + 1)[:, :, None] * C
+                         + jnp.arange(C)[None, None, :]).reshape(B, T * C)
+            curr_rows = jnp.broadcast_to(jnp.arange(C)[None, :], (B, C))
+            fused = self.history_keyframe_cat_conv(
+                y1_s, train, perm=slot_rows.astype(jnp.int32),
+                x2=y1_c, perm2=curr_rows.astype(jnp.int32))
         else:
-            grid = geometry.history_flow_grid(
-                hist_augs, forward_augs, curr_to_prev, f2b, (nz, ny, nx))
-            # the tiled warp materialises per-tile source slabs (~1.6 GB at
-            # flagship scale) -- a large constant on the training-graph
-            # memory high-water mark; training uses the gather warp instead
-            if (self.use_tiled_warp and not train
-                    and ny % 4 == 0 and nx % 4 == 0):
-                # exact trilinear via locality tiling (docs/PERF.md): valid
-                # for the ego-motion warp (rotation bounded by the
-                # +-22.5deg BDA augs and frame-to-frame yaw)
-                sampled = grid_sample_3d_tiled(
-                    hist_zyx, grid, align_corners=True, tile=4, slab_xy=8)
+            # XLA fallback (training / non-TPU): age-ordered channels,
+            # exactly the reference's formulation (fbocc.py:207-319)
+            s5 = start[:, None, None, None, None]
+            curr_zyx = jnp.transpose(curr_bev, (0, 3, 1, 2, 4))
+            tiled_curr = jnp.tile(curr_zyx, (1, 1, 1, 1, T))
+            hist_zyx = jnp.where(s5, tiled_curr,
+                                 state.history_bev.astype(self.dtype))
+            hist_zyx = jax.lax.stop_gradient(hist_zyx)
+            if (self.use_tiled_warp and not train and on_tpu
+                    and pallas_warp.supports(hist_zyx.shape)):
+                # standalone Pallas warp (A/B path when the fused kernel
+                # is disabled): exact trilinear tent-product on the MXU
+                mat = pallas_warp.flow_matrix_from_grid_args(
+                    hist_augs, forward_augs, curr_to_prev, f2b)
+                sampled = pallas_warp.warp_affine_3d(
+                    hist_zyx, mat, out_zyx=False).astype(self.dtype)
             else:
-                sampled = grid_sample_3d(hist_zyx, grid, align_corners=True)
-            sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4)).astype(
-                self.dtype)  # (B,Y,X,Z,TC)
+                grid = geometry.history_flow_grid(
+                    hist_augs, forward_augs, curr_to_prev, f2b,
+                    (nz, ny, nx))
+                # the tiled warp materialises per-tile source slabs
+                # (~1.6 GB at flagship scale) -- a large constant on the
+                # training-graph memory high-water mark; training uses the
+                # gather warp instead
+                if (self.use_tiled_warp and not train
+                        and ny % 4 == 0 and nx % 4 == 0):
+                    # exact trilinear via locality tiling (docs/PERF.md):
+                    # valid for the ego-motion warp (rotation bounded by
+                    # the +-22.5deg BDA augs and frame-to-frame yaw)
+                    sampled = grid_sample_3d_tiled(
+                        hist_zyx, grid, align_corners=True, tile=4,
+                        slab_xy=8)
+                else:
+                    sampled = grid_sample_3d(hist_zyx, grid,
+                                             align_corners=True)
+                sampled = jnp.transpose(sampled, (0, 2, 3, 1, 4)).astype(
+                    self.dtype)  # (B,Y,X,Z,TC)
 
-        feats_cat = jnp.concatenate([curr_bev, sampled], -1)  # (1+T)*C
-        sweep_cat = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.float32), sweep_time], axis=1)
+            # re-pin the batch sharding: the warp gather defeats GSPMD
+            # propagation (see parallel/mesh.py)
+            from fbbev_tpu.parallel import pshard
+            sampled = pshard(sampled)
+            feats_cat = jnp.concatenate([curr_bev, sampled], -1)  # (1+T)C
+            sweep_full = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.float32), sweep_r], axis=1)
+            new_sweep = sweep_full[:, :-1]
+            new_hist = jax.lax.stop_gradient(jnp.transpose(
+                feats_cat[..., : T * C], (0, 3, 1, 2, 4)))
 
-        # per-keyframe time-embedding conv.  A 1x1x1 conv mixes no spatial
-        # positions, so the frame axis is folded into Z instead of batch:
-        # (B,Y,X,Z,(T+1)C) -> (B,Y,X,Z(T+1),C) is a pure reshape (z-major,
-        # frame-minor is already the memory order), where the reference's
-        # batch-fold (fbocc.py:303-310 here, :303 upstream) costs two full
-        # moveaxis copies of the 17x80ch volume (~4 ms/frame measured).
-        # BatchNorm statistics reduce over all non-channel axes either way,
-        # so semantics and parameter layout are unchanged.
-        frames = feats_cat.reshape(B, ny, nx, nz * (T + 1), C)
-        t_emb = jnp.broadcast_to(
-            (sweep_cat * 0.5)[:, None, :], (B, nz, T + 1)).reshape(
-            B, 1, 1, nz * (T + 1), 1)
-        # the 1-channel time embedding is folded into the conv
-        # algebraically (TimeEmbedConvBN) instead of concatenated -- the
-        # concat rewrote ~220 MB of HBM per frame for one extra channel
-        frames = self.history_keyframe_time_conv(frames, t_emb, train)
-        frames = frames.reshape(B, ny, nx, nz, (T + 1) * C)
-        fused = self.history_keyframe_cat_conv(frames, train)
+            # per-keyframe time-embedding conv.  A 1x1x1 conv mixes no
+            # spatial positions, so the frame axis is folded into Z
+            # instead of batch: (B,Y,X,Z,(T+1)C) -> (B,Y,X,Z(T+1),C) is a
+            # pure reshape (z-major, frame-minor is already the memory
+            # order), where the reference's batch-fold (fbocc.py:303-310
+            # upstream) costs two full moveaxis copies of the 17x80ch
+            # volume (~4 ms/frame measured).  BatchNorm statistics reduce
+            # over all non-channel axes either way, so semantics and
+            # parameter layout are unchanged.
+            frames = feats_cat.reshape(B, ny, nx, nz * (T + 1), C)
+            t_emb = jnp.broadcast_to(
+                (sweep_full * 0.5)[:, None, :], (B, nz, T + 1)).reshape(
+                B, 1, 1, nz * (T + 1), 1)
+            # the 1-channel time embedding is folded into the conv
+            # algebraically (TimeEmbedConvBN) instead of concatenated --
+            # the concat rewrote ~220 MB of HBM per frame for one channel
+            frames = self.history_keyframe_time_conv(frames, t_emb, train)
+            frames = frames.reshape(B, ny, nx, nz, (T + 1) * C)
+            fused = self.history_keyframe_cat_conv(frames, train)
 
         new_state = TemporalState(
-            history_bev=jax.lax.stop_gradient(feats_cat[..., : T * C]),
-            sweep_time=sweep_cat[:, :-1],
+            history_bev=jax.lax.stop_gradient(new_hist),
+            sweep_time=new_sweep,
             seq_ids=seq_ids,
             forward_augs=forward_augs,
         )
@@ -369,25 +456,32 @@ class FBOCC(nn.Module):
         mlp_input = depth_net_lib.get_mlp_input(cam)
         context, depth = self.depth_net(feats, mlp_input, train)
 
-        bev_feat = self.forward_projection(cam, context, depth)
+        # pshard: batch-axis sharding hints for the ('data', 'space') mesh;
+        # no-ops single-device.  Without them GSPMD loses the batch
+        # sharding at the pool scatter / warp gather and replicates every
+        # downstream stage on all devices (see parallel/mesh.py).
+        from fbbev_tpu.parallel import pshard
+        bev_feat = pshard(self.forward_projection(cam, context, depth))
 
         outputs: Dict[str, Any] = {"depth": depth, "context": context}
         if self.use_backward_projection:
             lss_bev = jnp.mean(bev_feat, axis=3)  # z-collapse (B, Y, X, C)
-            refined = self.backward_projection(
-                context, lss_bev.astype(self.dtype), cam, depth, train)
+            refined = pshard(self.backward_projection(
+                context, lss_bev.astype(self.dtype), cam, depth, train))
             bev_feat = refined.astype(jnp.float32)[:, :, :, None, :] \
                 + bev_feat
             outputs["bev_refined"] = refined
 
         fused, new_state, seq_mismatch = self.fuse_history(
             bev_feat, state, batch, cam.bda, do_history, train)
+        fused = pshard(fused)
         outputs["seq_mismatch"] = seq_mismatch
 
         x = self.img_bev_encoder_backbone(fused.astype(jnp.float32), train)
-        voxel_feats = self.img_bev_encoder_neck(x, train)
+        voxel_feats = [pshard(v) for v in self.img_bev_encoder_neck(x,
+                                                                    train)]
         if self.use_occupancy_head:
-            logits = self.occupancy_head(voxel_feats, train)
+            logits = pshard(self.occupancy_head(voxel_feats, train))
             outputs["occ_logits"] = logits  # (B, Y, X, Z, num_classes)
         if self.use_detection_head:
             # z-collapse by folding Z into channels (design choice for the

@@ -133,6 +133,55 @@ class Conv3DZSlab(nn.Module):
         return out
 
 
+class Conv3DZFold(nn.Module):
+    """3x3x3 (stride 1/2, pad 1) 3D conv as ONE vanilla 2D conv with z
+    folded into channels: the kernel is expanded to a z-banded
+    (3, 3, Z*Cin, Zo*Cout) block matrix (rows outside the +-1 z band are
+    zero), so ``out[y, x, zo] = sum_dz k[.., dz] * x[.., zo+dz-1]`` drops
+    out of a single conv2d.  ~Z/3 x more MACs than the true 3D conv but
+    measured ~parity with the z-slab decomposition at BEV shapes
+    (docs/PERF.md "z-folded dense 2D formulation"), and -- being a single
+    ordinary convolution -- it composes with Pallas kernels in full
+    graphs where the z-slab decomposition faults the v5e worker
+    (docs/ROUND2.md).  Param layout matches ``nn.Conv``
+    (kernel (3, 3, 3, Cin, Cout)); the banded expansion is rebuilt
+    in-graph each call (~25 MB bf16 write per 256-ch conv, ~0.03 ms).
+    """
+
+    features: int
+    strides: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, Y, X, Z, Cin = x.shape
+        Co = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, Cin, self.features))
+        s = self.strides
+        Zo = (Z + 2 - 3) // s + 1
+        zi = jnp.arange(Z)
+        zo = jnp.arange(Zo) * s
+        dz = zi[None, :] - zo[:, None] + 1          # (Zo, Z)
+        mask = (dz >= 0) & (dz < 3)
+        kern = kernel.astype(self.dtype)
+        Kz = jnp.take(kern, jnp.clip(dz, 0, 2), axis=2)  # (3,3,Zo,Z,Ci,Co)
+        Kz = Kz * mask[None, None, :, :, None, None].astype(self.dtype)
+        K2 = jnp.transpose(Kz, (0, 1, 3, 4, 2, 5)).reshape(
+            3, 3, Z * Cin, Zo * Co)
+        x2 = x.astype(self.dtype).reshape(B, Y, X, Z * Cin)
+        y2 = jax.lax.conv_general_dilated(
+            x2, K2, (s, s), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = y2.reshape(B, y2.shape[1], y2.shape[2], Zo, Co)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (Co,))
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 class Conv1x1x1Dense(nn.Module):
     """1x1x1 3D conv as a flattened matmul (XLA's 3-spatial-dim conv path
     is measurably slower for pointwise convs).  Param layout matches
@@ -228,9 +277,14 @@ class ConvBN(nn.Module):
                 and self.ndim == 3 and ks == (3, 3, 3) and dl == (1, 1, 1)
                 and pad == [(1, 1)] * 3 and st[0] == st[1] == st[2]
                 and st[0] in (1, 2)):
-            x = Conv3DZSlab(self.features, strides=st[0],
-                            use_bias=self.use_bias, dtype=self.dtype,
-                            name="conv")(x)
+            # FBBEV_CONV3D=zfold: single-conv z-banded formulation
+            # (composes with Pallas kernels where z-slab faults the v5e
+            # worker, docs/ROUND2.md); default is the z-slab decomposition
+            impl = (Conv3DZFold if os.environ.get("FBBEV_CONV3D")
+                    == "zfold" else Conv3DZSlab)
+            x = impl(self.features, strides=st[0],
+                     use_bias=self.use_bias, dtype=self.dtype,
+                     name="conv")(x)
         elif ("pointwise" not in _DISABLED_DECOMP and not self.force_native
               and not (train and _POINTWISE_EVAL_ONLY)
               and self.ndim == 3 and ks == (1, 1, 1)
@@ -238,7 +292,8 @@ class ConvBN(nn.Module):
             x = Conv1x1x1Dense(self.features, strides=st[0],
                                use_bias=self.use_bias,
                                dtype=self.dtype, name="conv")(x)
-        elif _pallas3x3_eligible(x, ks, st, dl, pad, self.ndim):
+        elif not self.force_native and _pallas3x3_eligible(
+                x, ks, st, dl, pad, self.ndim):
             x = PallasConv3x3(self.features, use_bias=self.use_bias,
                               dtype=self.dtype, name="conv")(x)
         else:
@@ -446,6 +501,72 @@ class _SplitPointwiseConv(nn.Module):
         y = jnp.einsum("...c,co->...o", x.astype(self.dtype), k[:-1])
         y = y + e.astype(self.dtype) * k[-1] + bias.astype(self.dtype)
         return y
+
+
+class _PermRowsPointwiseConv(nn.Module):
+    """1x1x1 conv whose input channels may be permuted per-sample by
+    permuting the WEIGHT rows (used to restore age order over the
+    fuse-history ring slots, see ops/pallas_fuse_warp.py).  Param layout
+    matches ``nn.Conv`` (kernel (1, 1, 1, Cin, F), bias)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, perm=None, x2=None, perm2=None,
+                 force_native: bool = False):
+        Cin = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, Cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if x2 is not None:
+            # split input (e.g. [history slots | curr], never concatenated
+            # in HBM); perm/perm2: (B, C_x)/(B, C_x2) int32 -- row r of
+            # sample b's weight for x's channel r is the shared weight's
+            # row perm[b, r]
+            k = kernel.reshape(Cin, self.features).astype(self.dtype)
+            y = (jnp.einsum("b...c,bco->b...o", x.astype(self.dtype),
+                            k[perm])
+                 + jnp.einsum("b...c,bco->b...o", x2.astype(self.dtype),
+                              k[perm2]))
+        elif perm is None:
+            if force_native or "pointwise" in _DISABLED_DECOMP:
+                # native conv path (the pointwise-matmul form faults the
+                # v5e worker inside full TRAIN graphs, see module header)
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    (1, 1, 1), [(0, 0)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            else:
+                k = kernel.reshape(Cin, self.features).astype(self.dtype)
+                y = jnp.einsum("...c,co->...o", x.astype(self.dtype), k)
+        else:
+            k = kernel.reshape(Cin, self.features).astype(self.dtype)
+            y = jnp.einsum("b...c,bco->b...o", x.astype(self.dtype),
+                           k[perm])
+        return y + bias.astype(self.dtype)
+
+
+class RingCatConvBN(nn.Module):
+    """The SoloFusion cat conv (``ConvBN(features, 1, ndim=3,
+    use_bias=True)``) with an optional per-sample input-channel
+    permutation.  Param tree is identical to that ConvBN, so checkpoints
+    and the torch converter are unaffected; ``perm=None`` reproduces it
+    exactly."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, perm=None, x2=None,
+                 perm2=None):
+        y = _PermRowsPointwiseConv(self.features, dtype=self.dtype,
+                                   name="conv")(
+            x, perm, x2, perm2,
+            force_native=train and _POINTWISE_EVAL_ONLY)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(y)
+        return nn.relu(y)
 
 
 class TimeEmbedConvBN(nn.Module):

@@ -52,9 +52,42 @@ class LSSViewTransformer3D:
           (B, Y, X, Z, C) voxel features (channels last).
         """
         coor = geometry.frustum_to_ego(jnp.asarray(self.frustum), cam)
-        bev = lss_voxel_pool(
-            coor, depth.astype(jnp.float32), context.astype(jnp.float32),
-            self.grid_lower, self.grid_interval, self.grid_size)
+        bev = self._pool(coor, depth.astype(jnp.float32),
+                         context.astype(jnp.float32))
         if self.extra_relu:
             bev = jnp.maximum(bev, 0.0)
         return bev
+
+    def _pool(self, coor, depth, context):
+        """The splat, mesh-aware.
+
+        The segment-sum scatter folds (batch, camera) into the flattened
+        point/voxel axes, which GSPMD cannot partition -- it all-gathers
+        the 337k-point updates and replicates the scatter (and everything
+        downstream) on every device.  Under an active mesh the pool runs
+        inside ``shard_map``: each device scatters its LOCAL (batch-shard,
+        camera-shard) points into a full per-sample BEV and the camera
+        partials reduce with one ``psum`` over 'space' -- the collective
+        rides ICI once per frame instead of the partitioner's all-gathers.
+        Exact in exact arithmetic (addition order differs within a voxel).
+        """
+        from fbbev_tpu.parallel import active_mesh
+        mesh = active_mesh()
+        B, N = depth.shape[0], depth.shape[1]
+        if (mesh is None or B % mesh.shape.get("data", 1) != 0
+                or N % mesh.shape.get("space", 1) != 0):
+            return lss_voxel_pool(coor, depth, context, self.grid_lower,
+                                  self.grid_interval, self.grid_size)
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        def local(coor_l, depth_l, ctx_l):
+            bev = lss_voxel_pool(coor_l, depth_l, ctx_l, self.grid_lower,
+                                 self.grid_interval, self.grid_size)
+            return jax.lax.psum(bev, "space")
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data", "space"), P("data", "space"),
+                      P("data", "space")),
+            out_specs=P("data"))(coor, depth, context)

@@ -1,0 +1,325 @@
+"""Pallas TPU kernel: fused SoloFusion temporal-fusion front end.
+
+One kernel replaces the whole pre-conv section of ``fuse_history``
+(``/root/reference/mmdet3d/models/fbbev/detectors/fbocc.py:207-319``):
+
+    history layout transpose -> start-of-sequence reset (tile + where)
+    -> 5-D affine grid_sample warp -> concat([curr, warped])
+    -> new-history slice
+
+The XLA composition of those steps moves the ~200 MB (T*C)-channel history
+volume through HBM five+ times per frame (measured ~8 ms of the 44 ms
+eval step, docs/PERF.md).  Here each (TILE x TILE) BEV tile is DMA'd once
+per channel block, warped on the MXU with the tent-product trilinear
+formulation of ``ops/pallas_warp.py``, start-reset and ring-slot update
+are applied as in-VMEM arithmetic, and the two consumers are written
+directly:
+
+* ``slots``  (B, Y, X, Z, T*C) -- the warped history frames, input of the
+  time-embedding conv (the conv consumes ``slots`` and ``curr`` as two
+  tensors, so the (T+1)-frame concat never materialises);
+* ``hist``   (B, Z, Y, X, T*C) -- the next TemporalState buffer (z-major
+  so the next frame's warp needs no relayout), with the oldest slot
+  overwritten by ``curr``.
+
+Ring-slot note: the reference keeps history frames age-ordered in
+channels, so each update shifts every frame by C=80 channels -- an
+80-lane rotate of a 200 MB tensor on TPU.  This kernel instead keeps
+frames in FIXED slots and overwrites the oldest (a true ring buffer);
+age order is restored where it is actually consumed, by permuting the
+rows of the (T+1)*C x C_out cat-conv weight (0.9 MB) instead of the
+feature tensor.  The (age -> tensor) multiset is identical to the
+reference's at every step (equal-age ties only ever occur between
+byte-identical tensors, right after a sequence start).
+
+Sequence starts: every slot becomes the UNWARPED ``curr``.  The caller
+forces the per-sample flow to the identity on start (datasets provide
+``curr_to_prev_ego_rt = eye`` there, making the true flow the identity),
+so this matches the reference's warp-of-the-reset-buffer exactly.
+
+Correctness domain: same locality contract as ``pallas_warp`` -- the
+warped tile must fit the slab around the warped tile centre (in-plane
+rotation to ~30 deg + translation spill; ego frame-to-frame motion is
+well inside), and the per-tile z band covers floor(z_centre) - 1 .. + 1.
+Equivalence with the XLA fallback is stream-tested in
+``tests/test_fuse_warp.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 10
+# in the z-major (B, Z, Y, X, TC) layout both y and x are non-minor HBM
+# dims (z and channels are copied whole per block), so slab origins are
+# unconstrained -- no alignment tax on either axis
+SLAB_Y = 16
+SLAB_X = 16
+ZBAND = 3
+# double-buffered slab VMEM budget (the core has ~16 MB total)
+_SLAB_BUDGET = 6 * 1024 * 1024
+
+
+def _channel_block(TC: int, C: int, itemsize: int, Z: int):
+    """Largest channel block that is a multiple of both the frame width C
+    (so ring-slot masks stay block-local) and the 128-lane tile, divides
+    TC, and keeps the double-buffered slabs under budget."""
+    lcm = C * 128 // math.gcd(C, 128)
+    best = None
+    cb = lcm
+    while cb <= TC:
+        if TC % cb == 0:
+            if 2 * Z * SLAB_Y * SLAB_X * cb * itemsize <= _SLAB_BUDGET:
+                best = cb
+            else:
+                break
+        cb += lcm
+    return best
+
+
+def _slab_origin(mat_ref, b, i, j, *, D, H, W):
+    """Scalar slab origin (oy, ox) for tile (b, i, j)."""
+    m00 = mat_ref[b, 0]
+    m01 = mat_ref[b, 1]
+    m02 = mat_ref[b, 2]
+    m03 = mat_ref[b, 3]
+    m10 = mat_ref[b, 4]
+    m11 = mat_ref[b, 5]
+    m12 = mat_ref[b, 6]
+    m13 = mat_ref[b, 7]
+    cx = (j * TILE).astype(jnp.float32) + (TILE - 1) * 0.5
+    cy = (i * TILE).astype(jnp.float32) + (TILE - 1) * 0.5
+    cz = (D - 1) * 0.5
+    sx_c = m00 * cx + m01 * cy + m02 * cz + m03
+    sy_c = m10 * cx + m11 * cy + m13 + m12 * cz
+    oy = jnp.clip(jnp.floor(sy_c).astype(jnp.int32) - SLAB_Y // 2 + 1,
+                  0, H - SLAB_Y)
+    ox = jnp.clip(jnp.floor(sx_c).astype(jnp.int32) - SLAB_X // 2 + 1,
+                  0, W - SLAB_X)
+    return oy, ox
+
+
+def _kernel(mat_ref, start_ref, hsel_ref, hist_ref, curr_ref,
+            slots_ref, newh_ref, slabs, sems, *,
+            D, H, W, C, CB, NCB, Ht, Wt, NB):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    k = pl.program_id(3)
+
+    # ---- cross-step double-buffered slab DMA (cf. pallas_warp.py)
+    def dma(bb, ii, jj, kk, slot):
+        oy_, ox_ = _slab_origin(mat_ref, bb, ii, jj, D=D, H=H, W=W)
+        return pltpu.make_async_copy(
+            hist_ref.at[bb, :, pl.ds(oy_, SLAB_Y), pl.ds(ox_, SLAB_X),
+                        pl.ds(kk * CB, CB)],
+            slabs.at[slot], sems.at[slot])
+
+    step = ((b * Ht + i) * Wt + j) * NCB + k
+    par = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        dma(b, i, j, k, par).start()
+
+    nk = k + 1
+    ck = (nk == NCB).astype(jnp.int32)
+    nk = nk * (1 - ck)
+    nj = j + ck
+    cj = (nj == Wt).astype(jnp.int32)
+    nj = nj * (1 - cj)
+    ni = i + cj
+    ci = (ni == Ht).astype(jnp.int32)
+    ni = ni * (1 - ci)
+    nb = jnp.minimum(b + ci, NB - 1)
+
+    @pl.when(step < NB * Ht * Wt * NCB - 1)
+    def _():
+        dma(nb, ni, nj, nk, 1 - par).start()
+
+    m00 = mat_ref[b, 0]
+    m01 = mat_ref[b, 1]
+    m02 = mat_ref[b, 2]
+    m03 = mat_ref[b, 3]
+    m10 = mat_ref[b, 4]
+    m11 = mat_ref[b, 5]
+    m12 = mat_ref[b, 6]
+    m13 = mat_ref[b, 7]
+    m20 = mat_ref[b, 8]
+    m21 = mat_ref[b, 9]
+    m22 = mat_ref[b, 10]
+    m23 = mat_ref[b, 11]
+
+    y0 = (i * TILE).astype(jnp.float32)
+    x0 = (j * TILE).astype(jnp.float32)
+    cx = x0 + (TILE - 1) * 0.5
+    cy = y0 + (TILE - 1) * 0.5
+
+    oy, ox = _slab_origin(mat_ref, b, i, j, D=D, H=H, W=W)
+    oxf = ox.astype(jnp.float32)
+    oyf = oy.astype(jnp.float32)
+
+    n_o = TILE * TILE
+    o = jax.lax.broadcasted_iota(jnp.int32, (n_o, 1), 0)
+    gy = (o // TILE).astype(jnp.float32) + y0
+    gx = (o % TILE).astype(jnp.float32) + x0
+    xs0 = m00 * gx + m01 * gy + m03 - oxf
+    ys0 = m10 * gx + m11 * gy + m13 - oyf
+    zs0 = m20 * gx + m21 * gy + m23
+
+    S = ZBAND * SLAB_Y * SLAB_X
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    isz = (s_i // (SLAB_Y * SLAB_X)).astype(jnp.float32)
+    isy = ((s_i // SLAB_X) % SLAB_Y).astype(jnp.float32)
+    isx = (s_i % SLAB_X).astype(jnp.float32)
+
+    # ring-slot placement (lane iota): place_all[c, q*C + c] = 1
+    # replicates curr into every slot of this channel block; masking by
+    # (global slot == hsel) gives the oldest-slot overwrite.
+    s0 = k * (CB // C)  # first global slot of this block
+    ci_row = jax.lax.broadcasted_iota(jnp.int32, (C, CB), 0)
+    cj_col = jax.lax.broadcasted_iota(jnp.int32, (C, CB), 1)
+    place_all = (jax.lax.rem(cj_col, C) == ci_row).astype(jnp.float32)
+    hsel = hsel_ref[b]
+    slot_mask_row = (((jax.lax.broadcasted_iota(jnp.int32, (1, CB), 1)
+                       // C) + s0) == hsel).astype(jnp.float32)
+    s_b = start_ref[b]
+
+    dma(b, i, j, k, par).wait()
+
+    for z in range(D):
+        zf = float(z)
+        xs = xs0 + m02 * zf
+        ys = ys0 + m12 * zf
+        zs = zs0 + m22 * zf
+        z_c = m20 * cx + m21 * cy + m22 * zf + m23
+        zb = jnp.clip(jnp.floor(z_c).astype(jnp.int32) - (ZBAND - 1) // 2,
+                      0, D - ZBAND)
+        band = slabs[par, pl.ds(zb, ZBAND)].reshape(S, CB)
+        zbf = zb.astype(jnp.float32)
+        w = (jnp.maximum(1.0 - jnp.abs(xs - isx), 0.0)
+             * jnp.maximum(1.0 - jnp.abs(ys - isy), 0.0)
+             * jnp.maximum(1.0 - jnp.abs(zs - zbf - isz), 0.0))
+        warped = jnp.dot(w.astype(band.dtype), band,
+                         preferred_element_type=jnp.float32)  # (n_o, CB)
+
+        curr2 = curr_ref[0, 0, :, 0, :, z, :].reshape(n_o, C)
+        curr_all = jnp.dot(curr2.astype(band.dtype),
+                           place_all.astype(band.dtype),
+                           preferred_element_type=jnp.float32)
+        # sequence-start reset: every slot becomes curr
+        warped = warped * (1.0 - s_b) + curr_all * s_b
+        # ring update: the oldest slot is overwritten by curr
+        newh = (warped * (1.0 - slot_mask_row)
+                + curr_all * slot_mask_row)
+
+        slots_ref[0, 0, :, 0, :, z, :] = warped.reshape(
+            TILE, TILE, CB).astype(slots_ref.dtype)
+        newh_ref[0, z, 0, :, 0, :, :] = newh.reshape(
+            TILE, TILE, CB).astype(newh_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
+              start: jnp.ndarray, hsel: jnp.ndarray,
+              interpret: bool = False):
+    """Fused history warp + ring update.
+
+    Args:
+      hist: (B, Z, Y, X, T*C) previous history, z-major, slot-major
+        channels.
+      curr: (B, Y, X, Z, C) current fused BEV volume.
+      mat:  (B, 4, 4) or (B, 3, 4) affine flow, output (x, y, z) index
+        coords -> source index coords
+        (``pallas_warp.flow_matrix_from_grid_args``); MUST be the identity
+        for start samples (see module docstring).
+      start: (B,) bool/float -- sequence-start flags (resets every slot to
+        ``curr`` before the ring update).
+      hsel: (B,) int32 -- ring slot to overwrite with ``curr``.
+
+    Returns:
+      slots: (B, Y, X, Z, T*C) warped history frames (ring-slot order).
+      new_hist: (B, Z, Y, X, T*C).
+    """
+    B, Z, Y, X, TC = hist.shape
+    C = curr.shape[-1]
+    T = TC // C
+    assert T * C == TC and curr.shape == (B, Y, X, Z, C), (
+        hist.shape, curr.shape)
+    assert supports(hist.shape, C), (hist.shape, C)
+    Ht, Wt = Y // TILE, X // TILE
+    CB = _channel_block(TC, C, hist.dtype.itemsize, Z)
+    NCB = TC // CB
+    mrows = mat[:, :3, :].reshape(B, 12).astype(jnp.float32)
+    start_f = start.astype(jnp.float32)
+    hsel_i = hsel.astype(jnp.int32)
+
+    curr7 = curr.reshape(B, Ht, TILE, Wt, TILE, Z, C)
+    slots_shape = jax.ShapeDtypeStruct(
+        (B, Ht, TILE, Wt, TILE, Z, TC), curr.dtype)
+    newh_shape = jax.ShapeDtypeStruct(
+        (B, Z, Ht, TILE, Wt, TILE, TC), hist.dtype)
+
+    kernel = functools.partial(_kernel, D=Z, H=Y, W=X, C=C, CB=CB,
+                               NCB=NCB, Ht=Ht, Wt=Wt, NB=B)
+    slab_bytes = Z * SLAB_Y * SLAB_X * CB * hist.dtype.itemsize
+    slots, newh = pl.pallas_call(
+        kernel,
+        out_shape=(slots_shape, newh_shape),
+        grid=(B, Ht, Wt, NCB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, TILE, 1, TILE, Z, C),
+                         lambda b, i, j, k: (b, i, 0, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, TILE, 1, TILE, Z, CB),
+                         lambda b, i, j, k: (b, i, 0, j, 0, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Z, 1, TILE, 1, TILE, CB),
+                         lambda b, i, j, k: (b, 0, i, 0, j, 0, k),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Z, SLAB_Y, SLAB_X, CB), hist.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # all-sequential grid: the cross-step double buffering relies
+            # on the linear execution order
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Ht * Wt * Z * (TILE * TILE)
+            * (ZBAND * SLAB_Y * SLAB_X + C) * TC,
+            bytes_accessed=B * Ht * Wt * NCB * slab_bytes
+            + B * Y * X * Z * TC * curr.dtype.itemsize
+            + B * Y * X * Z * TC * hist.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mrows, start_f, hsel_i, hist, curr7)
+    return (slots.reshape(B, Y, X, Z, TC),
+            newh.reshape(B, Z, Y, X, TC))
+
+
+def supports(hist_shape, C: int = 80) -> bool:
+    """Whether :func:`fuse_warp` handles this (B, Z, Y, X, TC) history."""
+    _, Z, Y, X, TC = hist_shape
+    if not (Y % TILE == 0 and X % TILE == 0
+            and Y >= SLAB_Y and X >= SLAB_X and Z >= ZBAND):
+        return False
+    if TC % C:
+        return False
+    return _channel_block(TC, C, 2, Z) is not None

@@ -77,6 +77,37 @@ def _kernel(v_ref, xs_ref, ys_ref, w_ref, o_ref, *, H, Wp, TQ, K, C,
         o_ref[0, 0] = red
 
 
+def _tile_rows(Q: int, K: int) -> int:
+    TQ = max(1, min(Q, 2048 // K))
+    while Q % TQ:
+        TQ -= 1
+    return TQ
+
+
+def supports(spatial_shape, C: int, Q: int, K: int,
+             value_itemsize: int = 2,
+             vmem_limit_bytes: int = 24 * 1024 * 1024) -> bool:
+    """Shape gate: does the per-program VMEM working set fit?
+
+    Mirrors :func:`_attend`'s blocking.  The dominant term is the
+    transposed one-hot (H*Wp, TQ*K) f32; a config with a larger feature
+    level / channel count must fall back to the XLA scan path instead of
+    failing Mosaic compilation at runtime (cf. ops/pallas_warp.supports).
+    """
+    H, W = spatial_shape
+    Wp = W + (-W) % 8
+    HWp = H * Wp
+    TQ = _tile_rows(Q, K)
+    R = TQ * K
+    vmem = (HWp * C * value_itemsize   # value map block
+            + HWp * R * 4              # transposed one-hot (f32)
+            + 3 * R * 4                # coord rows
+            + R * C * 4                # sampled (R, C) f32
+            + (K * C * 8 if K > 1 else 0)  # head mask + reduce temps
+            + TQ * C * 4)              # output block
+    return vmem <= vmem_limit_bytes
+
+
 @functools.partial(jax.jit,
                    static_argnames=("spatial_shape", "heads", "interpret"))
 def _attend(value, spatial_shape, xs, ys, w, heads: int,

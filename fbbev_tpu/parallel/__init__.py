@@ -1,3 +1,4 @@
 from fbbev_tpu.parallel.mesh import (  # noqa: F401
-    batch_pspecs, distributed_init_if_needed, gather_to_host, make_mesh,
-    replicate, shard_batch, shard_temporal_state, state_pspecs)
+    active_mesh, batch_pspecs, distributed_init_if_needed, gather_to_host,
+    make_mesh, pshard, replicate, shard_batch, shard_temporal_state,
+    state_pspecs, use_mesh)

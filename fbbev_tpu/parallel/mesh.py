@@ -37,6 +37,69 @@ def make_mesh(data: Optional[int] = None, space: int = 1,
     return Mesh(arr, ("data", "space"))
 
 
+# ---------------------------------------------------------------------------
+# Active mesh: sharding hints inside model code.
+#
+# XLA's sharding propagation (GSPMD) loses the batch sharding at ops whose
+# batch dimension is folded away or routed through scatter/sort/gather --
+# measured on the full train step: the LSS pool's flattened segment-sum and
+# the occ losses' batch-flattened sort each force an all-gather, after which
+# EVERYTHING downstream (temporal fusion, 3D encoder, occupancy head, the
+# whole loss backward) runs fully replicated on every device (28.7 GFLOP/dev
+# vs the 2.2 ideal at the dryrun size).  The reference never hits this class
+# of bug because DDP replicates by construction
+# (``/root/reference/mmdet3d/apis/train.py:229-233``); a sharded single
+# program must instead pin the batch axis at stage boundaries.
+#
+# Model code calls :func:`pshard` at those boundaries.  It is a no-op unless
+# a mesh has been activated via :func:`use_mesh` (the train/eval loops and
+# the multichip dryrun do), so single-device paths are untouched.
+# ---------------------------------------------------------------------------
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+class use_mesh:
+    """Context manager: activates ``mesh`` for :func:`pshard` hints AND
+    enters it as the jax mesh context.  Functions jitted under this context
+    must be (re)traced under it -- the train/eval loops enter it before
+    their first step and stay inside for the run."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        if self.mesh is not None:
+            self.mesh.__enter__()
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        if self.mesh is not None:
+            return self.mesh.__exit__(*exc)
+        return False
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+def pshard(x, *spec):
+    """``with_sharding_constraint`` against the active mesh (no-op without
+    one).  Default spec: batch dimension -> 'data', rest unsharded."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return x
+    if not spec:
+        spec = ("data",)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
 # Per-field partition specs for an FBOCC batch: batch dim -> data,
 # camera dim -> space (where present).
 _BATCH_SPECS = {

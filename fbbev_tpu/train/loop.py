@@ -179,22 +179,25 @@ def train(cfg: Config, max_iters: Optional[int] = None,
     t0 = time.perf_counter()
     step0 = int(state.step)
     batch = batch0
-    ctx = mesh if mesh is not None else _NullCtx()
-    with ctx:
+    prev_mismatch = None
+    # use_mesh (vs a bare `with mesh:`) additionally activates the mesh for
+    # the model's pshard hints and the shard_map'd pool/losses
+    from fbbev_tpu.parallel import use_mesh
+    with use_mesh(mesh):
         for i in range(step0, total):
             do_history = i >= temporal_start
             state, tstate, metrics = trainer.train_step(
                 state, tstate, batch, do_history=do_history)
             # next host batch overlaps with the device step (async dispatch);
-            # the seq_mismatch contract check syncs only at log cadence to
-            # keep the step stream free of per-iter host round-trips
+            # the stream/slot contract is checked every iteration on the
+            # PREVIOUS step's metrics (already computed on device, so the
+            # read adds no sync point on the step just dispatched)
             next_batch = _put_batch(next(it), mesh)
+            if prev_mismatch is not None:
+                _check_seq_contract(prev_mismatch)
+            prev_mismatch = metrics["seq_mismatch"]
             if (i + 1) % log_interval == 0 or i + 1 == total:
-                if int(np.asarray(metrics["seq_mismatch"])) > 0:
-                    raise RuntimeError(
-                        "sampler/state contract violated: a non-start-of-"
-                        "sequence sample continued a different scene stream "
-                        "(cf. fbocc.py:248 assertion)")
+                _check_seq_contract(prev_mismatch)
                 m = {k: float(np.asarray(v)) for k, v in metrics.items()}
                 m["iter"] = i + 1
                 m["time_per_iter"] = (time.perf_counter() - t0) / (
@@ -210,6 +213,16 @@ def train(cfg: Config, max_iters: Optional[int] = None,
             batch = next_batch
     return {"state": state, "history": history, "trainer": trainer,
             "model": model, "mesh": mesh}
+
+
+def _check_seq_contract(mismatch) -> None:
+    """Runtime port of the fuse_history sampler/state assertion
+    (``/root/reference/mmdet3d/models/fbbev/detectors/fbocc.py:248``)."""
+    if int(np.asarray(mismatch)) > 0:
+        raise RuntimeError(
+            "sampler/state contract violated: a non-start-of-"
+            "sequence sample continued a different scene stream "
+            "(cf. fbocc.py:248 assertion)")
 
 
 class _NullCtx:
@@ -286,17 +299,26 @@ def evaluate(cfg: Config, state=None, trainer=None,
             model.single_bev_num_channels, dtype=model.dtype)
         if mesh is not None:
             tstate = shard_temporal_state(tstate, mesh)
-        n_done += _eval_pass(
-            sampler, dataset, trainer, state, tstate, mesh, model, metric,
-            det_metric, decode_fn, use_ema, local_bs, n_proc,
-            None if max_samples is None else max_samples - n_done)
+        from fbbev_tpu.parallel import use_mesh
+        with use_mesh(mesh):
+            n_done += _eval_pass(
+                sampler, dataset, trainer, state, tstate, mesh, model,
+                metric, det_metric, decode_fn, use_ema, local_bs, n_proc,
+                None if max_samples is None else max_samples - n_done)
         if max_samples is not None and n_done >= max_samples:
             break
     if n_proc > 1:
         # cross-host confusion-matrix reduction (replaces the reference's
-        # rank-pickle merge, apis/test.py:210-256)
-        merged = gather_to_host(jnp.asarray(metric.hist)[None])
-        metric.hist = np.sum(np.asarray(merged, np.int64), axis=0)
+        # rank-pickle merge, apis/test.py:210-256).  The int64 counts are
+        # gathered as two uint32 halves: routing the array through jnp with
+        # x64 disabled would silently downcast to int32, overflowing on
+        # full-split voxel counts (billions per class).
+        hist = np.ascontiguousarray(metric.hist, np.int64)
+        lo = gather_to_host((hist & 0xFFFFFFFF).astype(np.uint32)[None])
+        hi = gather_to_host((hist >> 32).astype(np.uint32)[None])
+        merged = ((np.asarray(hi, np.int64) << 32)
+                  + np.asarray(lo, np.int64))
+        metric.hist = np.sum(merged, axis=0)
     results = metric.count_miou() if model.use_occupancy_head else {}
     if det_metric is not None:
         results.update(det_metric.compute())
@@ -332,7 +354,7 @@ def _eval_pass(sampler, dataset, trainer, state, tstate, mesh, model,
         samples = [dataset[i] for i in idxs]
         batch = collate(samples)
         jb = _put_batch({k: v for k, v in batch.items()
-                         if k not in ("visible_mask",)}, mesh)
+                         if k not in ("visible_mask", "gt_attrs")}, mesh)
         outputs, tstate = trainer.eval_step(state, tstate, jb,
                                             use_ema=use_ema)
         if "occ_logits" in outputs:
@@ -358,10 +380,12 @@ def _eval_pass(sampler, dataset, trainer, state, tstate, mesh, model,
                 metric.add_batch(pred, gt, vis)
             if det is not None and "gt_boxes" in samples[b]:
                 boxes, scores, labels = det[0][b], det[1][b], det[2][b]
+                attrs = samples[b].get("gt_attrs")
                 det_metric.add_sample(
                     boxes, scores, labels,
                     np.asarray(samples[b]["gt_boxes"]),
-                    np.asarray(samples[b]["gt_labels"]))
+                    np.asarray(samples[b]["gt_labels"]),
+                    gt_attrs=None if attrs is None else list(attrs))
             n_done += 1
         if max_samples is not None and n_done >= max_samples:
             break

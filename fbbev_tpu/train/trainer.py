@@ -118,8 +118,8 @@ class Trainer:
             logits = outputs["occ_logits"]
             H, W = logits.shape[1], logits.shape[2]
             dist_w = jnp.asarray(loss_lib.bev_distance_weight(H, W))
-            losses = occ_losses(logits, batch["gt_occupancy"],
-                                self._class_weights, dist_w)
+            losses = self._occ_losses_sharded(logits,
+                                              batch["gt_occupancy"], dist_w)
         if "det_preds" in outputs and "gt_boxes" in batch:
             from fbbev_tpu.models.centerpoint_head import (
                 NUSCENES_CLASSES, NUSCENES_TASKS, centerpoint_loss,
@@ -138,6 +138,39 @@ class Trainer:
                 self.model.downsample, gc["depth"],
                 self.depth_loss_weight)
         return losses
+
+    def _occ_losses_sharded(self, logits, gt, dist_w):
+        """Occupancy losses, per-data-shard under an active mesh.
+
+        The losses sort/reduce over the batch-flattened voxel axis; under
+        GSPMD that axis mixes the sharded batch dim, which forces a full
+        all-gather and replicates the entire loss (and its backward) on
+        every device.  With a mesh active they instead run inside a
+        ``shard_map`` over 'data': each shard computes the losses on its
+        LOCAL batch and the shards are mean-reduced -- exactly the
+        reference's distributed semantics, where every DDP rank computes
+        the loss on its local batch and gradients are averaged
+        (``/root/reference/mmdet3d/apis/train.py:229-233``; lovasz/sem_scal
+        are batch-coupled, so per-rank loss != global-batch loss there
+        too).  Single device: identical to the plain call.
+        """
+        def fn(lg, tg):
+            return occ_losses(lg, tg, self._class_weights, dist_w)
+
+        from fbbev_tpu.parallel import active_mesh
+        mesh = active_mesh()
+        if (mesh is None or "data" not in mesh.shape
+                or logits.shape[0] % mesh.shape["data"] != 0):
+            return fn(logits, gt)
+        from jax.sharding import PartitionSpec as P
+
+        def local(lg, tg):
+            return jax.tree.map(lambda v: jax.lax.pmean(v, "data"),
+                                fn(lg, tg))
+
+        return jax.shard_map(local, mesh=mesh, in_specs=(P("data"),
+                                                         P("data")),
+                             out_specs=P())(logits, gt)
 
     def _train_step_impl(self, state: TrainState,
                          temporal_state: TemporalState,

@@ -1,0 +1,168 @@
+"""Fused Pallas fuse_history (ring-slot) vs the XLA fallback (age-order).
+
+The two paths keep different state REPRESENTATIONS (fixed ring slots vs
+age-ordered channels) but must produce identical fused outputs at every
+step of a stream -- the (age -> tensor) multiset invariant documented in
+ops/pallas_fuse_warp.py.  Runs the kernel through the Pallas interpreter
+on CPU (FBBEV_FORCE_FUSE_WARP=interpret).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fbbev_tpu.models.fbocc import FBOCC, init_temporal_state
+
+B, T, C = 1, 2, 64
+NY = NX = 30
+NZ = 8
+
+GRID = {"x": (-12.0, 12.0, 0.8), "y": (-12.0, 12.0, 0.8),
+        "z": (-1.0, 5.4, 0.8), "depth": (2.0, 42.0, 2.0)}
+BF_GRID = {"x": (-12.0, 12.0, 0.8), "y": (-12.0, 12.0, 0.8),
+           "z": (-1.0, 5.4, 1.6)}
+
+
+def _model():
+    return FBOCC(grid_config=GRID, bevformer_grid_config=BF_GRID,
+                 history_cat_num=T, single_bev_num_channels=C,
+                 history_cat_conv_out_channels=2 * C)
+
+
+def _flow(step):
+    # step 0 (sequence start) is the identity -- the dataset contract
+    # (data/nuscenes.py sets curr_to_prev_ego_rt = eye on starts)
+    th = 0.03 * step
+    c2p = np.eye(4, dtype=np.float32)
+    c2p[0, 0] = c2p[1, 1] = np.cos(th)
+    c2p[0, 1], c2p[1, 0] = -np.sin(th), np.sin(th)
+    c2p[0, 3], c2p[1, 3] = 0.4 * step, -0.25 * min(step, 1)
+    c2p[2, 3] = 0.1 * min(step, 1)
+    return c2p
+
+
+def _meta(step):
+    return dict(
+        start_of_sequence=jnp.asarray([step == 0]),
+        sequence_group_idx=jnp.zeros((B,), jnp.int32),
+        curr_to_prev_ego_rt=jnp.asarray(_flow(step))[None],
+    )
+
+
+def _params(model, rng):
+    curr = jnp.asarray(rng.randn(B, NY, NX, NZ, C).astype(np.float32))
+    tstate = init_temporal_state(B, (NX, NY, NZ), T, C)
+
+    def init_run(mdl):
+        return mdl.fuse_history(curr, tstate, _meta(0),
+                                jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+                                do_history=True, train=False)
+
+    return model.init(jax.random.PRNGKey(0), method=init_run)
+
+
+def _stream(model, variables, currs, force_fused):
+    env_key = "FBBEV_FORCE_FUSE_WARP"
+    old = os.environ.get(env_key)
+    try:
+        if force_fused:
+            os.environ[env_key] = "interpret"
+        else:
+            os.environ.pop(env_key, None)
+        tstate = init_temporal_state(B, (NX, NY, NZ), T, C)
+        outs = []
+        for step, curr in enumerate(currs):
+            def run(mdl):
+                return mdl.fuse_history(
+                    jnp.asarray(curr), tstate, _meta(step),
+                    jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+                    do_history=True, train=False)
+
+            fused, tstate, mism = model.apply(variables, method=run)
+            assert not bool(np.asarray(mism).any())
+            outs.append(np.asarray(fused))
+        return outs, tstate
+    finally:
+        if old is None:
+            os.environ.pop(env_key, None)
+        else:
+            os.environ[env_key] = old
+
+
+
+def test_ring_path_matches_age_path():
+    rng = np.random.RandomState(0)
+    model = _model()
+    variables = _params(model, rng)
+    # randomise BN stats so the eval-mode affine is non-trivial
+    bs = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.rand(*x.shape).astype(np.float32) * 0.5 + 0.5),
+        variables.get("batch_stats", {}))
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    # steps beyond T exercise the ring wrap-around (oldest-slot reuse)
+    currs = [rng.randn(B, NY, NX, NZ, C).astype(np.float32) * 0.3
+             for _ in range(T + 3)]
+    ref, ref_state = _stream(model, variables, currs, force_fused=False)
+    got, got_state = _stream(model, variables, currs, force_fused=True)
+
+    for step, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            g, r, atol=2e-4, rtol=2e-3,
+            err_msg=f"fused output diverged at stream step {step}")
+    # state representations differ (ring vs age order) but the stored
+    # frame multisets must match: compare channel-block sets per position
+    rh = np.asarray(ref_state.history_bev).reshape(B, NZ, NY, NX, T, C)
+    gh = np.asarray(got_state.history_bev).reshape(B, NZ, NY, NX, T, C)
+    r_sorted = np.sort(rh, axis=4)
+    g_sorted = np.sort(gh, axis=4)
+    np.testing.assert_allclose(g_sorted, r_sorted, atol=2e-4, rtol=2e-3)
+
+
+
+def test_ring_start_reset_mid_stream():
+    """A start-of-sequence flag mid-stream must reset the fused path's
+    ring exactly like the fallback's tile-reset."""
+    rng = np.random.RandomState(1)
+    model = _model()
+    variables = _params(model, rng)
+
+    currs = [rng.randn(B, NY, NX, NZ, C).astype(np.float32) * 0.3
+             for _ in range(4)]
+    metas = [_meta(0), _meta(1), _meta(0), _meta(1)]  # reset at step 2
+
+    def stream(force):
+        env_key = "FBBEV_FORCE_FUSE_WARP"
+        old = os.environ.get(env_key)
+        try:
+            if force:
+                os.environ[env_key] = "interpret"
+            else:
+                os.environ.pop(env_key, None)
+            tstate = init_temporal_state(B, (NX, NY, NZ), T, C)
+            outs = []
+            for curr, meta in zip(currs, metas):
+                def run(mdl):
+                    return mdl.fuse_history(
+                        jnp.asarray(curr), tstate, meta,
+                        jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+                        do_history=True, train=False)
+
+                fused, tstate, _ = model.apply(variables, method=run)
+                outs.append(np.asarray(fused))
+            return outs
+        finally:
+            if old is None:
+                os.environ.pop(env_key, None)
+            else:
+                os.environ[env_key] = old
+
+    ref = stream(False)
+    got = stream(True)
+    for step, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, r, atol=2e-4, rtol=2e-3,
+                                   err_msg=f"step {step}")

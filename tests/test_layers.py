@@ -94,6 +94,23 @@ def test_conv3d_zslab_matches_nn_conv(rng):
                                    atol=1e-5, err_msg=f"stride={stride}")
 
 
+def test_conv3d_zfold_matches_nn_conv(rng):
+    """The z-banded single-conv formulation must match XLA's native 3D
+    conv for stride 1 and stride 2 (same param layout)."""
+    import flax.linen as nn
+    from fbbev_tpu.models.layers import Conv3DZFold
+    for stride in (1, 2):
+        x = jnp.asarray(rng.randn(2, 8, 8, 4, 6).astype(np.float32))
+        ref_m = nn.Conv(5, (3, 3, 3), strides=(stride,) * 3,
+                        padding=[(1, 1)] * 3, use_bias=True)
+        v = ref_m.init(jax.random.PRNGKey(0), x)
+        ref = ref_m.apply(v, x)
+        out = Conv3DZFold(5, strides=stride, use_bias=True).apply(
+            {"params": dict(v["params"])}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"stride={stride}")
+
+
 def test_conv1x1x1_dense_matches_nn_conv(rng):
     import flax.linen as nn
     from fbbev_tpu.models.layers import Conv1x1x1Dense

@@ -129,7 +129,7 @@ class TestFBOCC:
         out, new_state = model.apply(variables, batch, state)
         assert out["occ_logits"].shape == (1, 200, 200, 16, 19)
         assert out["depth"].shape == (1, 2, 80, 4, 11)
-        assert new_state.history_bev.shape == (1, 100, 100, 8, 4 * 80)
+        assert new_state.history_bev.shape == (1, 8, 100, 100, 4 * 80)
         assert np.isfinite(np.asarray(out["occ_logits"])).all()
 
     def test_temporal_sweep_times(self, model_and_vars):

@@ -178,7 +178,7 @@ def test_fuse_history_matches_torch_oracle(rng):
     c2p[0, 3], c2p[1, 3] = 1.3, -0.7
 
     tstate = TemporalState(
-        history_bev=jnp.asarray(hist),
+        history_bev=jnp.asarray(np.transpose(hist, (0, 3, 1, 2, 4))),
         sweep_time=jnp.asarray(sweep),
         seq_ids=jnp.zeros((B,), jnp.int32),
         forward_augs=jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
@@ -243,8 +243,10 @@ def test_fuse_history_matches_torch_oracle(rng):
 
     np.testing.assert_allclose(np.asarray(fused), fused_t, atol=5e-5,
                                rtol=2e-2)
-    # state update: history drops the oldest frame, detached copy
-    np.testing.assert_allclose(np.asarray(new_state.history_bev),
-                               feats[..., :T * C], atol=5e-5)
+    # state update: history drops the oldest frame, detached copy (the
+    # state buffer is stored z-major)
+    np.testing.assert_allclose(
+        np.asarray(new_state.history_bev),
+        np.transpose(feats[..., :T * C], (0, 3, 1, 2, 4)), atol=5e-5)
     np.testing.assert_allclose(np.asarray(new_state.sweep_time),
                                sweep_cat[:, :-1], atol=0)

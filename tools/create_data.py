@@ -42,14 +42,16 @@ CLASSES = ["car", "truck", "construction_vehicle", "bus", "trailer",
 
 
 def get_gt(nusc, sample):
-    """Ego-frame GT boxes [x,y,z,dx,dy,dz,yaw,vx,vy] + labels
-    (cf. create_data_bevdet.py:43-85)."""
+    """Ego-frame GT boxes [x,y,z,dx,dy,dz,yaw,vx,vy] + labels + annotated
+    attribute names (cf. create_data_bevdet.py:43-85; attributes feed the
+    mAAE term of the self-contained NDS evaluation -- the reference gets
+    them implicitly from the devkit DB at eval time)."""
     from pyquaternion import Quaternion
 
     sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
     ego_pose = nusc.get("ego_pose", sd["ego_pose_token"])
     ego2global = Quaternion(ego_pose["rotation"]).inverse
-    boxes, labels = [], []
+    boxes, labels, attrs = [], [], []
     for ann_token in sample["anns"]:
         ann = nusc.get("sample_annotation", ann_token)
         name = CLASS_MAP.get(ann["category_name"])
@@ -64,9 +66,13 @@ def get_gt(nusc, sample):
         boxes.append(np.concatenate([
             box.center, box.wlh[[1, 0, 2]], [yaw], vel]))
         labels.append(CLASSES.index(name))
+        attrs.append(
+            nusc.get("attribute", ann["attribute_tokens"][0])["name"]
+            if ann["attribute_tokens"] else "")
     if boxes:
-        return np.stack(boxes).astype(np.float32), np.asarray(labels)
-    return np.zeros((0, 9), np.float32), np.zeros((0,), np.int64)
+        return (np.stack(boxes).astype(np.float32), np.asarray(labels),
+                attrs)
+    return np.zeros((0, 9), np.float32), np.zeros((0,), np.int64), []
 
 
 def convert(data_root: str, version: str, out_dir: str):
