@@ -99,16 +99,31 @@ def main():
     # pre-stage distinct frames on device (host->device copy amortised,
     # exactly like the per-frame-dispatch version of this bench)
     staged = [make_batch(i + 1, False) for i in range(4)]
-    frames = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *(staged * (CHUNK // len(staged))))
-    sums, state = infer_stream(variables, frames, state)  # compile+warm
-    np.asarray(sums)
-    rounds = 2
-    t0 = time.perf_counter()
-    for _ in range(rounds):
+    import os
+    if os.environ.get("FBBEV_BENCH_STREAM") == "1":
+        # streaming scan pipeline (opt-in until its on-chip validation
+        # lands -- the first attempt was blocked by a wedged chip lease,
+        # docs/ROUND3.md)
+        frames = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *(staged * (CHUNK // len(staged))))
         sums, state = infer_stream(variables, frames, state)
-    np.asarray(sums)
-    dt = (time.perf_counter() - t0) / (rounds * CHUNK)
+        np.asarray(sums)
+        rounds = 2
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            sums, state = infer_stream(variables, frames, state)
+        np.asarray(sums)
+        dt = (time.perf_counter() - t0) / (rounds * CHUNK)
+    else:
+        for b in staged:
+            pred, state = infer(variables, b, state)
+        np.asarray(pred)
+        iters = 30
+        t0 = time.perf_counter()
+        for i in range(iters):
+            pred, state = infer(variables, staged[i % len(staged)], state)
+        np.asarray(pred)
+        dt = (time.perf_counter() - t0) / iters
     fps = B / dt
 
     target_per_chip = 500.0 / 8.0

@@ -313,6 +313,8 @@ class DepthAwareSpatialCrossAttention(nn.Module):
             out = attention(qd, value, ref, (Hf, Wf), oh, pd, train)
             out = out.reshape(B, N, Q, C)
             slots = jnp.sum(out * query_valid[..., None], axis=1)
+            from fbbev_tpu.parallel import pshard
+            slots = pshard(slots)
         else:
             # compact visible query ids to the front (stable), pad to K
             order = jnp.argsort(~query_valid, axis=-1, stable=True)
@@ -334,6 +336,11 @@ class DepthAwareSpatialCrossAttention(nn.Module):
             slots = jax.ops.segment_sum(
                 out.reshape(B * N * K, C), seg,
                 num_segments=B * Q).reshape(B, Q, C)
+            # the batch-folded segment ids defeat GSPMD propagation (see
+            # parallel/mesh.py): re-pin the batch sharding here so the
+            # replication stays bounded to this scatter
+            from fbbev_tpu.parallel import pshard
+            slots = pshard(slots)
             self.sow("intermediates", "rebatch_overflow",
                      jnp.sum(jnp.sum(query_valid, -1) > K))
 
@@ -359,14 +366,22 @@ class FFN(nn.Module):
 
 
 class BEVFormerEncoderLayer(nn.Module):
-    """Op order: self_attn -> norm -> cross_attn -> norm -> ffn -> norm
-    (config ``fbocc-r50...py:202``)."""
+    """Configurable-order transformer layer -- the TPU port of
+    ``MyCustomBaseTransformerLayer``'s ``operation_order`` sequencing
+    (``/root/reference/mmdet3d/models/fbbev/view_transformation/backward_projection/bevformer_utils/custom_base_transformer_layer.py:89-260``).
+
+    Default order matches the shipped config
+    (``fbocc-r50...py:202``): self_attn -> norm -> cross_attn -> norm ->
+    ffn -> norm.  Norms are numbered in encounter order (norm1..normN) so
+    the parameter tree of the default order is unchanged."""
 
     embed_dims: int = 80
     feedforward_channels: int = 320
     num_cams: int = 6
     dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
     max_queries_per_cam: int | None = None
+    operation_order: Tuple[str, ...] = (
+        "self_attn", "norm", "cross_attn", "norm", "ffn", "norm")
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -374,23 +389,31 @@ class BEVFormerEncoderLayer(nn.Module):
     def __call__(self, query, bev_pos, ref_2d, bev_hw, cam_feats, ref_cam,
                  per_cam_mask, query_depth, pred_depth,
                  train: bool = False):
-        query = DeformableSelfAttention(
-            embed_dims=self.embed_dims, dtype=self.dtype,
-            remat=self.remat,
-            name="self_attn")(query, bev_pos, ref_2d, bev_hw)
-        query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
-        query = DepthAwareSpatialCrossAttention(
-            embed_dims=self.embed_dims, num_cams=self.num_cams,
-            dbound=self.dbound,
-            max_queries_per_cam=self.max_queries_per_cam,
-            dtype=self.dtype, remat=self.remat, name="cross_attn",
-        )(query, bev_pos, cam_feats, ref_cam, per_cam_mask, query_depth,
-          pred_depth, train)
-        query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
-        query = FFN(embed_dims=self.embed_dims,
-                    feedforward_channels=self.feedforward_channels,
-                    dtype=self.dtype, name="ffn")(query)
-        query = nn.LayerNorm(epsilon=1e-5, name="norm3")(query)
+        n_norm = 0
+        for op in self.operation_order:
+            if op == "self_attn":
+                query = DeformableSelfAttention(
+                    embed_dims=self.embed_dims, dtype=self.dtype,
+                    remat=self.remat,
+                    name="self_attn")(query, bev_pos, ref_2d, bev_hw)
+            elif op == "cross_attn":
+                query = DepthAwareSpatialCrossAttention(
+                    embed_dims=self.embed_dims, num_cams=self.num_cams,
+                    dbound=self.dbound,
+                    max_queries_per_cam=self.max_queries_per_cam,
+                    dtype=self.dtype, remat=self.remat, name="cross_attn",
+                )(query, bev_pos, cam_feats, ref_cam, per_cam_mask,
+                  query_depth, pred_depth, train)
+            elif op == "norm":
+                n_norm += 1
+                query = nn.LayerNorm(epsilon=1e-5,
+                                     name=f"norm{n_norm}")(query)
+            elif op == "ffn":
+                query = FFN(embed_dims=self.embed_dims,
+                            feedforward_channels=self.feedforward_channels,
+                            dtype=self.dtype, name="ffn")(query)
+            else:
+                raise ValueError(f"unknown operation {op!r}")
         return query
 
 
@@ -409,6 +432,8 @@ class BackwardProjection(nn.Module):
     pos_num_feats: int = 40
     dbound: Tuple[float, float, float] = (2.0, 42.0, 0.5)
     max_queries_per_cam: int | None = None
+    operation_order: Sequence[str] = (
+        "self_attn", "norm", "cross_attn", "norm", "ffn", "norm")
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -462,6 +487,7 @@ class BackwardProjection(nn.Module):
                 feedforward_channels=self.feedforward_channels,
                 num_cams=N, dbound=self.dbound,
                 max_queries_per_cam=self.max_queries_per_cam,
+                operation_order=tuple(self.operation_order),
                 dtype=self.dtype, remat=self.remat,
                 name=f"layer{i}",
             )(query, bev_pos, ref_2d, (H, W), cam_feats, ref_cam,

@@ -81,9 +81,16 @@ def _grid_size(model: FBOCC):
     return (nx, ny, nz)
 
 
-def batch_iterator(dataset, sampler) -> Iterator[Dict[str, np.ndarray]]:
-    for idxs in sampler:
-        yield collate([dataset[i] for i in idxs])
+def batch_iterator(dataset, sampler,
+                   num_workers: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Sampler-ordered batches; ``num_workers > 0`` decodes ahead of the
+    device step on a thread pool (the reference's ``workers_per_gpu``
+    dataloader, ``datasets/builder.py:38-109``)."""
+    if num_workers > 0:
+        from fbbev_tpu.data.loader import PrefetchLoader
+        return iter(PrefetchLoader(dataset, sampler,
+                                   num_workers=num_workers))
+    return (collate([dataset[i] for i in idxs]) for idxs in sampler)
 
 
 def make_train_mesh(cfg: Config):
@@ -127,7 +134,8 @@ def train(cfg: Config, max_iters: Optional[int] = None,
     sampler = InfiniteGroupStreamSampler(
         dataset.flag, batch_size // n_proc, world_size=n_proc,
         rank=jax.process_index(), seed=cfg.get("seed", 0))
-    it = batch_iterator(dataset, sampler)
+    it = batch_iterator(dataset, sampler,
+                        num_workers=cfg.data.get("workers", 0))
 
     trainer = Trainer(
         model,

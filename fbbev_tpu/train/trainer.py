@@ -90,11 +90,15 @@ class Trainer:
             loss_lib.occ_class_weights(self.num_classes))
         self._dist_weight = None  # lazily sized from the first batch
         donate = (0, 1) if self.donate_state else ()
+        # `_mesh` is a hashable cache key only: the active mesh is read at
+        # TRACE time (pshard hints / shard_map'd losses), so two calls with
+        # identical array shardings but different active meshes must not
+        # share a trace
         self._train_step = jax.jit(self._train_step_impl,
-                                   static_argnames=("do_history",),
+                                   static_argnames=("do_history", "_mesh"),
                                    donate_argnums=donate)
         self._eval_step = jax.jit(self._eval_step_impl,
-                                  static_argnames=("use_ema",))
+                                  static_argnames=("use_ema", "_mesh"))
 
     # ------------------------------------------------------------------
     def init_state(self, rng, batch, temporal_state) -> TrainState:
@@ -174,7 +178,8 @@ class Trainer:
 
     def _train_step_impl(self, state: TrainState,
                          temporal_state: TemporalState,
-                         batch: Dict[str, Any], do_history: bool = True):
+                         batch: Dict[str, Any], do_history: bool = True,
+                         _mesh=None):
         def loss_fn(params):
             (outputs, new_tstate), mutated = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -210,7 +215,8 @@ class Trainer:
 
     def _eval_step_impl(self, state: TrainState,
                         temporal_state: TemporalState,
-                        batch: Dict[str, Any], use_ema: bool = True):
+                        batch: Dict[str, Any], use_ema: bool = True,
+                        _mesh=None):
         params = state.ema_params if use_ema else state.params
         bs = state.ema_batch_stats if use_ema else state.batch_stats
         outputs, new_tstate = self.model.apply(
@@ -224,9 +230,13 @@ class Trainer:
         """One optimizer step.  ``do_history`` is static (flips once at the
         curriculum boundary, costing a single recompile, matching
         SequentialControlHook semantics)."""
+        from fbbev_tpu.parallel import active_mesh
         new_state, new_tstate, metrics = self._train_step(
-            state, temporal_state, batch, do_history=do_history)
+            state, temporal_state, batch, do_history=do_history,
+            _mesh=active_mesh())
         return new_state, new_tstate, metrics
 
     def eval_step(self, state, temporal_state, batch, use_ema: bool = True):
-        return self._eval_step(state, temporal_state, batch, use_ema=use_ema)
+        from fbbev_tpu.parallel import active_mesh
+        return self._eval_step(state, temporal_state, batch, use_ema=use_ema,
+                               _mesh=active_mesh())

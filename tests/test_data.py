@@ -233,3 +233,34 @@ def test_rt_matrix_cam_modes(rng):
     g = nuscenes_rt_matrix(info, info, "CAM_FRONT_XYD", "global")
     back = nuscenes_rt_matrix(info, info, "global", "CAM_FRONT_XYD")
     np.testing.assert_allclose(back @ g, np.eye(4), atol=1e-9)
+
+
+def test_prefetch_loader_matches_sync_order():
+    """PrefetchLoader must yield byte-identical batches in sampler order
+    (the stream-per-slot temporal contract depends on it)."""
+    from fbbev_tpu.data.loader import PrefetchLoader
+
+    ds = SyntheticClipDataset(n_scenes=2, frames_per_scene=3,
+                              input_size=(16, 48), num_cams=2,
+                              occ_shape=(8, 8, 4))
+    idx_batches = [[0, 3], [1, 4], [2, 5]]
+    from fbbev_tpu.data.synthetic import collate
+    sync = [collate([ds[i] for i in idxs]) for idxs in idx_batches]
+    pre = list(PrefetchLoader(ds, iter(idx_batches), num_workers=3,
+                              prefetch=2))
+    assert len(pre) == len(sync)
+    for a, b in zip(pre, sync):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_prefetch_loader_propagates_errors():
+    from fbbev_tpu.data.loader import PrefetchLoader
+
+    class Boom:
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    with np.testing.assert_raises(RuntimeError):
+        list(PrefetchLoader(Boom(), iter([[0]]), num_workers=2))

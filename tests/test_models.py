@@ -90,6 +90,22 @@ def test_backward_projection(rng):
     assert out.shape == (B, 20, 20, C)
     assert np.isfinite(np.asarray(out)).all()
 
+    # operation_order sequencing (MyCustomBaseTransformerLayer parity,
+    # custom_base_transformer_layer.py:89-260): the default order keeps
+    # the exact param tree; a reordered/extended program builds and runs
+    p0 = variables["params"]["layer0"]
+    assert {"self_attn", "cross_attn", "ffn", "norm1", "norm2",
+            "norm3"} <= set(p0.keys())
+    m2 = BackwardProjection(
+        bev_h=20, bev_w=20, embed_dims=C, feedforward_channels=4 * C,
+        input_size=(64, 176),
+        operation_order=("norm", "cross_attn", "norm", "self_attn",
+                         "norm", "ffn"))
+    v2 = m2.init(jax.random.PRNGKey(0), feats, lss, cam, depth)
+    out2 = m2.apply(v2, feats, lss, cam, depth)
+    assert out2.shape == (B, 20, 20, C)
+    assert np.isfinite(np.asarray(out2)).all()
+
 
 def test_bev_encoder_stack(rng):
     bb = CustomResNet3D(block_inplanes=(16, 32, 64))

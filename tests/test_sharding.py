@@ -49,3 +49,67 @@ def test_sharded_train_step():
     np.testing.assert_allclose(
         float(metrics["loss_total"]), float(metrics_ref["loss_total"]),
         rtol=2e-4)
+
+
+def test_sharded_train_step_use_mesh():
+    """The production path: `use_mesh` activates pshard hints, the
+    shard_map'd pool, and the per-data-shard losses.  Voxel-mean losses
+    (ce, depth) must match the unsharded step; the batch-coupled ones
+    (lovasz, sem_scal, geo) are per-shard by design (reference DDP
+    semantics, see Trainer._occ_losses_sharded) and only need to be
+    finite/close.  Uses the dryrun-sized micro model: the tiny_model
+    R50 config costs ~15 min of XLA:CPU compile per jit on this host."""
+    from fbbev_tpu.models import FBOCC
+    from fbbev_tpu.parallel import use_mesh
+    from __graft_entry__ import _make_batch
+
+    rng = np.random.RandomState(0)
+    mesh = make_mesh(data=4, space=2)
+    grid = {"x": (-40.0, 40.0, 4.0), "y": (-40.0, 40.0, 4.0),
+            "z": (-1.0, 5.4, 1.6), "depth": (2.0, 42.0, 2.0)}
+    C = 32
+    model = FBOCC(grid_config=grid,
+                  bevformer_grid_config={k: grid[k] for k in "xyz"},
+                  input_size=(32, 96), num_cams=2, history_cat_num=2,
+                  single_bev_num_channels=C, depth_channels=20,
+                  backbone_depth=18, img_feat_channels=64,
+                  max_queries_per_cam=128,
+                  history_cat_conv_out_channels=2 * C,
+                  voxel_channels=(8, 16, 32), voxel_out_channels=16)
+    trainer = Trainer(model)
+    B, N = 4, 2
+    batch = _make_batch(B, N, 32, 96, with_gt=True, occ_shape=(40, 40, 8))
+    tstate = init_temporal_state(B, (20, 20, 4), 2, C)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, tstate)
+
+    _, _, metrics_ref = trainer.train_step(state, tstate, batch,
+                                           do_history=True)
+
+    with use_mesh(mesh):
+        batch_sh = shard_batch(batch, mesh)
+        tstate_sh = jax.device_put(
+            tstate, jax.tree.map(
+                lambda spec: NamedSharding(mesh, spec),
+                state_pspecs(tstate)))
+        state_sh = jax.device_put(state, NamedSharding(mesh, P()))
+        new_state, new_tstate, metrics = trainer.train_step(
+            state_sh, tstate_sh, batch_sh, do_history=True)
+        for k, v in metrics.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+        # the optimizer applied an update
+        assert int(np.asarray(new_state.step)) == 1
+
+    # voxel-mean losses are exact across the semantics (mean of equal-size
+    # shard means == global mean); depth_loss is computed outside shard_map
+    for k in ("loss_voxel_ce_c_0", "loss_depth"):
+        if k in metrics_ref:
+            np.testing.assert_allclose(
+                float(metrics[k]), float(metrics_ref[k]), rtol=5e-4,
+                err_msg=k)
+    # batch-coupled losses (ratio-of-sums / batch sort): per-shard mean vs
+    # global batch -- close, not equal
+    for k in ("loss_voxel_lovasz_c_0", "loss_voxel_sem_scal_c_0",
+              "loss_voxel_geo_scal_c_0"):
+        if k in metrics_ref:
+            a, b = float(metrics[k]), float(metrics_ref[k])
+            assert abs(a - b) / max(abs(b), 1e-6) < 0.5, (k, a, b)
