@@ -383,6 +383,202 @@ def convert_vovnet_backbone(b: _TreeBuilder, src: str = "img_backbone",
             b.conv(f"{p}.ese.fc", d + ("ese", "fc"))
 
 
+def convert_convnext_backbone(b: _TreeBuilder, src: str = "img_backbone",
+                              dst: str = "img_backbone",
+                              arch: str = "base",
+                              out_indices=(2, 3)) -> None:
+    """ConvNeXt backbone rules.
+
+    Reference naming (``/root/reference/mmdet3d/models/backbones/convnext.py:285-336``):
+    ``downsample_layers.0.{0,1}`` = stem conv + LN,
+    ``downsample_layers.{i}.{0,1}`` = LN + 2x2 conv (i >= 1),
+    ``stages.{i}.{j}.{depthwise_conv,norm,pointwise_conv1,pointwise_conv2,
+    gamma}`` (pointwise convs are nn.Linear), ``norm{i}`` = out-stage LN.
+    """
+    from fbbev_tpu.models.convnext import SPECS
+    spec = SPECS[arch]
+    b.conv(f"{src}.downsample_layers.0.0", (dst, "stem_conv"))
+    b.layernorm(f"{src}.downsample_layers.0.1", (dst, "stem_norm"))
+    for i in range(1, len(spec["depths"])):
+        b.layernorm(f"{src}.downsample_layers.{i}.0",
+                    (dst, f"down{i}_norm"))
+        b.conv(f"{src}.downsample_layers.{i}.1", (dst, f"down{i}_conv"))
+    for i, depth in enumerate(spec["depths"]):
+        for j in range(depth):
+            p = f"{src}.stages.{i}.{j}"
+            d = (dst, f"stage{i}_{j}")
+            b.conv(f"{p}.depthwise_conv", d + ("dwconv",))
+            b.layernorm(f"{p}.norm", d + ("norm",))
+            b.linear(f"{p}.pointwise_conv1", d + ("pwconv1",))
+            b.linear(f"{p}.pointwise_conv2", d + ("pwconv2",))
+            b.raw(f"{p}.gamma", d + ("gamma",))
+        if i in out_indices:
+            b.layernorm(f"{src}.norm{i}", (dst, f"out_norm{i}"))
+
+
+def convert_convnext_checkpoint(sd: Dict[str, np.ndarray],
+                                arch: str = "base",
+                                out_indices=(2, 3)) -> Dict[str, Any]:
+    b = _TreeBuilder(sd)
+    convert_convnext_backbone(b, arch=arch, out_indices=out_indices)
+    unused = [k for k in sd if k not in b.used
+              and not k.endswith("num_batches_tracked")]
+    return {"params": b.params, "batch_stats": b.batch_stats,
+            "unused_keys": unused}
+
+
+def export_convnext_checkpoint(variables: Dict[str, Any],
+                               arch: str = "base",
+                               out_indices=(2, 3)) -> Dict[str, np.ndarray]:
+    import jax
+    b = _TreeBuilder({}, reverse=True,
+                     params=jax.tree.map(np.asarray,
+                                         dict(variables["params"])),
+                     batch_stats=jax.tree.map(
+                         np.asarray, dict(variables.get("batch_stats", {}))))
+    convert_convnext_backbone(b, arch=arch, out_indices=out_indices)
+    return b.sd
+
+
+def convert_swin_backbone(b: _TreeBuilder, src: str = "img_backbone",
+                          dst: str = "img_backbone", arch: str = "base",
+                          out_indices=(2, 3)) -> None:
+    """SwinTransformer backbone rules.
+
+    Reference naming (``/root/reference/mmdet3d/models/backbones/swin.py``
+    mmcv convention): ``patch_embed.projection/norm``,
+    ``stages.{i}.blocks.{j}.{norm1,attn.w_msa.{relative_position_bias_table,
+    qkv,proj},norm2,ffn.layers.0.0,ffn.layers.1}``,
+    ``stages.{i}.downsample.{norm,reduction}``, out ``norm{i}``.
+
+    Patch merging: the reference's PatchMerging flattens the 2x2
+    neighbourhood with ``nn.Unfold`` -- channel order ``c*4 + dy*2 + dx``
+    (the reference itself reorders official-Swin weights into this order,
+    ``swin.py:28-58``); our merge concat is ``(dy, dx, c)``-ordered, so the
+    reduction weight's input dim and the pre-reduction norm are permuted.
+    """
+    from fbbev_tpu.models.swin import SPECS
+    spec = SPECS[arch]
+    b.conv(f"{src}.patch_embed.projection", (dst, "patch_embed"))
+    b.layernorm(f"{src}.patch_embed.norm", (dst, "patch_norm"))
+    depths = spec["depths"]
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            p = f"{src}.stages.{i}.blocks.{j}"
+            d = (dst, f"stage{i}_{j}")
+            b.layernorm(f"{p}.norm1", d + ("norm1",))
+            b.raw(f"{p}.attn.w_msa.relative_position_bias_table",
+                  d + ("attn", "rel_pos_bias"))
+            b.linear(f"{p}.attn.w_msa.qkv", d + ("attn", "qkv"))
+            b.linear(f"{p}.attn.w_msa.proj", d + ("attn", "proj"))
+            b.layernorm(f"{p}.norm2", d + ("norm2",))
+            b.linear(f"{p}.ffn.layers.0.0", d + ("mlp_fc1",))
+            b.linear(f"{p}.ffn.layers.1", d + ("mlp_fc2",))
+        if i < len(depths) - 1:
+            C = spec["embed"] * 2 ** i
+            # perm[o] = reference (unfold) column for our channel o=(dy,dx,c)
+            o = np.arange(4 * C)
+            dy, dx, c = o // (2 * C), (o // C) % 2, o % C
+            perm = c * 4 + dy * 2 + dx
+            inv_perm = np.argsort(perm)
+            ds = f"{src}.stages.{i}.downsample"
+            dm = (dst, f"merge{i + 1}_norm")
+            b._pair(f"{ds}.norm.weight", dm + ("scale",),
+                    lambda w, p=perm: w[p], lambda w, ip=inv_perm: w[ip])
+            b._pair(f"{ds}.norm.bias", dm + ("bias",),
+                    lambda w, p=perm: w[p], lambda w, ip=inv_perm: w[ip])
+            b._pair(f"{ds}.reduction.weight",
+                    (dst, f"merge{i + 1}_reduce", "kernel"),
+                    lambda w, p=perm: _linear(w)[p],
+                    lambda w, ip=inv_perm: _linear(w[ip]))
+        if i in out_indices:
+            b.layernorm(f"{src}.norm{i}", (dst, f"out_norm{i}"))
+
+
+def convert_swin_checkpoint(sd: Dict[str, np.ndarray], arch: str = "base",
+                            out_indices=(2, 3)) -> Dict[str, Any]:
+    b = _TreeBuilder(sd)
+    convert_swin_backbone(b, arch=arch, out_indices=out_indices)
+    unused = [k for k in sd if k not in b.used
+              and not k.endswith(("num_batches_tracked",
+                                  "relative_position_index"))]
+    return {"params": b.params, "batch_stats": b.batch_stats,
+            "unused_keys": unused}
+
+
+def export_swin_checkpoint(variables: Dict[str, Any], arch: str = "base",
+                           out_indices=(2, 3)) -> Dict[str, np.ndarray]:
+    import jax
+    b = _TreeBuilder({}, reverse=True,
+                     params=jax.tree.map(np.asarray,
+                                         dict(variables["params"])),
+                     batch_stats=jax.tree.map(
+                         np.asarray, dict(variables.get("batch_stats", {}))))
+    convert_swin_backbone(b, arch=arch, out_indices=out_indices)
+    return b.sd
+
+
+def _convert_dla_tree(b: _TreeBuilder, src: str, dst: Tuple[str, ...],
+                      levels: int, in_ch: int, out_ch: int) -> None:
+    if in_ch != out_ch:
+        b.conv(f"{src}.project.0", dst + ("project", "conv"))
+        b.bn(f"{src}.project.1", dst + ("project", "bn"))
+    if levels == 1:
+        for t in ("tree1", "tree2"):
+            b.conv(f"{src}.{t}.conv1", dst + (t, "conv1", "conv"))
+            b.bn(f"{src}.{t}.norm1", dst + (t, "conv1", "bn"))
+            b.conv(f"{src}.{t}.conv2", dst + (t, "conv2", "conv"))
+            b.bn(f"{src}.{t}.norm2", dst + (t, "conv2", "bn"))
+        b.convbn(f"{src}.root.conv", f"{src}.root.norm",
+                 dst + ("root", "conv"))
+    else:
+        _convert_dla_tree(b, f"{src}.tree1", dst + ("tree1",),
+                          levels - 1, in_ch, out_ch)
+        _convert_dla_tree(b, f"{src}.tree2", dst + ("tree2",),
+                          levels - 1, out_ch, out_ch)
+
+
+def convert_dla_backbone(b: _TreeBuilder, src: str = "img_backbone",
+                         dst: str = "img_backbone",
+                         arch: str = "dla34") -> None:
+    """DLANet backbone rules (reference naming,
+    ``/root/reference/mmdet3d/models/backbones/dla.py:340-430``):
+    ``base_layer.{0,1}``, ``level{0,1}.{0,1}`` conv levels, then recursive
+    ``level{2..5}.(project.{0,1}|tree1|tree2|root.{conv,norm})`` trees."""
+    from fbbev_tpu.models.dla import SPECS
+    spec = SPECS[arch]
+    ch = spec["channels"]
+    b.convbn(f"{src}.base_layer.0", f"{src}.base_layer.1",
+             (dst, "base_layer"))
+    b.convbn(f"{src}.level0.0", f"{src}.level0.1", (dst, "level0"))
+    b.convbn(f"{src}.level1.0", f"{src}.level1.1", (dst, "level1"))
+    for lvl in range(2, 6):
+        _convert_dla_tree(b, f"{src}.level{lvl}", (dst, f"level{lvl}"),
+                          spec["levels"][lvl], ch[lvl - 1], ch[lvl])
+
+
+def convert_dla_checkpoint(sd: Dict[str, np.ndarray],
+                           arch: str = "dla34") -> Dict[str, Any]:
+    b = _TreeBuilder(sd)
+    convert_dla_backbone(b, arch=arch)
+    unused = [k for k in sd if k not in b.used
+              and not k.endswith("num_batches_tracked")]
+    return {"params": b.params, "batch_stats": b.batch_stats,
+            "unused_keys": unused}
+
+
+def export_dla_checkpoint(variables: Dict[str, Any],
+                          arch: str = "dla34") -> Dict[str, np.ndarray]:
+    import jax
+    b = _TreeBuilder({}, reverse=True,
+                     params=jax.tree.map(np.asarray,
+                                         dict(variables["params"])),
+                     batch_stats=jax.tree.map(
+                         np.asarray, dict(variables.get("batch_stats", {}))))
+    convert_dla_backbone(b, arch=arch)
+    return b.sd
+
+
 def convert_vovnet_checkpoint(sd: Dict[str, np.ndarray],
                               spec_name: str = "V-99-eSE") -> Dict[str, Any]:
     """Standalone VoVNet backbone conversion (e.g. a depth-pretrain

@@ -126,3 +126,82 @@ def test_vovnet_converter_roundtrip_consumes_all():
     assert len(gs) == len(rs)
     for path, leaf in gs:
         np.testing.assert_array_equal(leaf, rs[path])
+
+
+def _roundtrip_backbone(model, export_fn, convert_fn, sample_key):
+    """Export a real init to reference naming, re-import, check exact
+    round-trip with every key consumed both ways (the VoVNet pattern)."""
+    import jax
+    import jax.numpy as jnp
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = {
+        "params": {"img_backbone": jax.tree.map(
+            np.asarray, dict(variables["params"]))},
+        "batch_stats": {"img_backbone": jax.tree.map(
+            np.asarray, dict(variables.get("batch_stats", {})))}}
+    sd = export_fn(variables)
+    assert any(sample_key in k for k in sd), sorted(sd)[:8]
+    out = convert_fn(sd)
+    assert out["unused_keys"] == []
+    for coll in ("params", "batch_stats"):
+        ref = variables[coll].get("img_backbone", {})
+        got = out[coll].get("img_backbone", {}) if out[coll] else {}
+        ga = jax.tree_util.tree_leaves_with_path(got)
+        gb = dict(jax.tree_util.tree_leaves_with_path(ref))
+        assert len(ga) == len(gb), (coll, len(ga), len(gb))
+        for path, leaf in ga:
+            np.testing.assert_array_equal(leaf, gb[path], err_msg=str(path))
+
+
+def test_convnext_converter_roundtrip_consumes_all():
+    from fbbev_tpu.models.convnext import ConvNeXt
+    from fbbev_tpu.train.checkpoint_convert import (
+        convert_convnext_checkpoint, export_convnext_checkpoint)
+
+    _roundtrip_backbone(
+        ConvNeXt(arch="tiny"),
+        lambda v: export_convnext_checkpoint(v, arch="tiny"),
+        lambda sd: convert_convnext_checkpoint(sd, arch="tiny"),
+        "downsample_layers.0.0")
+
+
+def test_swin_converter_roundtrip_consumes_all():
+    from fbbev_tpu.models.swin import SwinTransformer
+    from fbbev_tpu.train.checkpoint_convert import (
+        convert_swin_checkpoint, export_swin_checkpoint)
+
+    _roundtrip_backbone(
+        SwinTransformer(arch="tiny"),
+        lambda v: export_swin_checkpoint(v, arch="tiny"),
+        lambda sd: convert_swin_checkpoint(sd, arch="tiny"),
+        "attn.w_msa.qkv")
+
+
+def test_swin_merge_permutation_is_consistent():
+    """The unfold-order permutation must be its own round-trip AND place
+    our (dy, dx, c) channel o at reference column c*4 + dy*2 + dx."""
+    from fbbev_tpu.train.checkpoint_convert import _linear
+
+    C = 3
+    o = np.arange(4 * C)
+    dy, dx, c = o // (2 * C), (o // C) % 2, o % C
+    perm = c * 4 + dy * 2 + dx
+    w = np.random.RandomState(0).randn(2 * C, 4 * C).astype(np.float32)
+    ours = _linear(w)[perm]
+    for oo in range(4 * C):
+        np.testing.assert_array_equal(ours[oo], w[:, perm[oo]])
+    inv = np.argsort(perm)
+    np.testing.assert_array_equal(_linear(ours[inv]), w)
+
+
+def test_dla_converter_roundtrip_consumes_all():
+    from fbbev_tpu.models.dla import DLANet
+    from fbbev_tpu.train.checkpoint_convert import (
+        convert_dla_checkpoint, export_dla_checkpoint)
+
+    _roundtrip_backbone(
+        DLANet(arch="dla34"),
+        export_dla_checkpoint,
+        convert_dla_checkpoint,
+        "level3.tree1.project.0")

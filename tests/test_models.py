@@ -267,9 +267,11 @@ def test_swin_shift_invariance_smoke(rng):
 def test_dla_shapes(rng):
     from fbbev_tpu.models.dla import DLANet
     m = DLANet(arch="dla34", out_indices=(4, 5))
-    x = jnp.asarray(rng.randn(1, 64, 176, 3).astype(np.float32))
+    # W divisible by 64: like the reference's 256x704 deployment shapes,
+    # DLA's floor-mode tree maxpool requires even H/W at every level.
+    x = jnp.asarray(rng.randn(1, 64, 192, 3).astype(np.float32))
     v = m.init(jax.random.PRNGKey(0), x)
     outs = m.apply(v, x)
-    assert outs[0].shape == (1, 4, 11, 256)
+    assert outs[0].shape == (1, 4, 12, 256)
     assert outs[1].shape == (1, 2, 6, 512)
     assert np.isfinite(np.asarray(outs[0])).all()
