@@ -31,7 +31,8 @@ class ConvNeXtBlock(nn.Module):
                     dtype=self.dtype, name="dwconv")(x)
         y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
-        y = nn.gelu(y)
+        # exact erf GELU: torch nn.GELU default (flax defaults to tanh approx)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
         gamma = self.param("gamma",
                            nn.initializers.constant(self.layer_scale_init),

@@ -403,6 +403,20 @@ def max_pool_same(x, window: int, strides: int):
     )
 
 
+def max_pool_ceil(x, window: int, strides: int):
+    """Torch ``MaxPool2d(window, strides, ceil_mode=True)`` (padding=0):
+    right/bottom -inf padding only, exactly enough for the ceil-division
+    output size.  Distinct from padding=1 SAME pooling — the window grid
+    starts at 0, not -1 (VoVNet inter-stage pools, ``vovnet.py:262``)."""
+    pads = []
+    for dim in (1, 2):
+        size = x.shape[dim]
+        out = -(-(size - window) // strides) + 1
+        pads.append((0, max(0, (out - 1) * strides + window - size)))
+    return nn.max_pool(x, (window, window), strides=(strides, strides),
+                       padding=pads)
+
+
 def resize_bilinear(x, out_hw, align_corners: bool = False):
     """2D bilinear resize matching torch ``F.interpolate``.
 

@@ -120,7 +120,7 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 

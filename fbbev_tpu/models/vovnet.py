@@ -16,10 +16,13 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from fbbev_tpu.models.layers import ConvBN, max_pool_same
+from fbbev_tpu.models.layers import ConvBN, max_pool_ceil
 from fbbev_tpu.registry import BACKBONES
 
 STAGE_SPECS = {
+    "V-19-eSE": dict(stem=(64, 64, 128), stage_conv_ch=(128, 160, 192, 224),
+                     stage_out_ch=(256, 512, 768, 1024), layer_per_block=3,
+                     block_per_stage=(1, 1, 1, 1)),
     "V-39-eSE": dict(stem=(64, 64, 128), stage_conv_ch=(128, 160, 192, 224),
                      stage_out_ch=(256, 512, 768, 1024), layer_per_block=5,
                      block_per_stage=(1, 1, 2, 2)),
@@ -93,7 +96,7 @@ class VoVNetCP(nn.Module):
             osa_cls = nn.remat(OSAModule, static_argnums=(2,))
         for stage in range(4):
             if stage > 0:
-                x = max_pool_same(x, 3, 2)
+                x = max_pool_ceil(x, 3, 2)  # MaxPool2d(3,2,ceil_mode=True), vovnet.py:262
             for b in range(spec["block_per_stage"][stage]):
                 x = osa_cls(
                     stage_ch=spec["stage_conv_ch"][stage],

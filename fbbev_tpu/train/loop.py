@@ -137,11 +137,15 @@ def train(cfg: Config, max_iters: Optional[int] = None,
     it = batch_iterator(dataset, sampler,
                         num_workers=cfg.data.get("workers", 0))
 
+    # freeze-submodule surface (reference tools/train.py:245-275); a list
+    # of top-level module names, e.g. freeze = ('img_backbone',)
+    frozen = tuple(cfg.get("freeze", ()) or ())
     trainer = Trainer(
         model,
-        optimizer=make_optimizer(**dict(cfg.optimizer)),
+        optimizer=make_optimizer(frozen=frozen, **dict(cfg.optimizer)),
         ema_base_decay=cfg.ema.get("base_decay", 0.999),
         ema_init_updates=cfg.ema.get("init_updates", 0),
+        frozen=frozen,
         donate_state=True,  # the loop never reuses pre-step state objects
     )
 

@@ -60,12 +60,33 @@ def lr_schedule(base_lr: float = 2e-4, warmup_iters: int = 200,
 
 def make_optimizer(base_lr: float = 2e-4, weight_decay: float = 1e-2,
                    max_grad_norm: float = 5.0, warmup_iters: int = 200,
-                   warmup_ratio: float = 1e-3):
-    return optax.chain(
+                   warmup_ratio: float = 1e-3,
+                   frozen: Tuple[str, ...] = ()):
+    """AdamW + global-norm clip, optionally with frozen submodules.
+
+    ``frozen`` lists top-level param-collection prefixes (module names,
+    e.g. ``('img_backbone',)``) whose updates are zeroed — the TPU
+    equivalent of the reference's ``requires_grad=False`` freeze options
+    (``/root/reference/tools/train.py:245-275``,
+    ``freeze_lidar_components`` / ``freeze_depthplugin_components``).
+    Clipping and Adam moments see only the trainable subset, matching
+    torch where frozen params produce no grads at all.
+    """
+    inner = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(lr_schedule(base_lr, warmup_iters, warmup_ratio),
                     weight_decay=weight_decay),
     )
+    if not frozen:
+        return inner
+    frozen_set = frozenset(frozen)
+
+    def label_params(params):
+        return {k: ("frozen" if k in frozen_set else "train")
+                for k in params}
+
+    return optax.multi_transform(
+        {"train": inner, "frozen": optax.set_to_zero()}, label_params)
 
 
 @dataclasses.dataclass
@@ -79,6 +100,10 @@ class Trainer:
     depth_loss_weight: float = 1.0
     num_classes: int = 19
     use_depth_supervision: bool = True
+    # top-level module names whose params AND BN running stats are frozen
+    # (pair with make_optimizer(frozen=...)); mirrors the reference's
+    # fix_bn/track_running_stats=False (tools/train.py:251-275)
+    frozen: Tuple[str, ...] = ()
     # donate train/temporal state buffers to the step (halves peak param
     # memory; the caller must not reuse pre-step state objects)
     donate_state: bool = False
@@ -192,6 +217,13 @@ class Trainer:
 
         (total, (losses, new_tstate, new_bs, seq_mismatch)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        if self.frozen:
+            # frozen modules keep their running BN stats (the reference's
+            # track_running_stats=False, tools/train.py:251-275)
+            old_bs = dict(state.batch_stats)
+            new_bs = {k: (old_bs[k] if k in self.frozen else v)
+                      for k, v in dict(new_bs).items()}
 
         updates, new_opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)

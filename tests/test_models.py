@@ -225,7 +225,9 @@ def test_vovnet_shapes(rng):
     v = m.init(jax.random.PRNGKey(0), x)
     outs = m.apply(v, x)
     assert outs[0].shape == (1, 4, 11, 768)
-    assert outs[1].shape == (1, 2, 6, 1024)
+    # ceil-mode stage pools (torch MaxPool2d(3,2,ceil_mode=True)): 11 -> 5,
+    # not the 6 the old padding=1 pool produced
+    assert outs[1].shape == (1, 2, 5, 1024)
 
 
 def test_convnext_shapes(rng):

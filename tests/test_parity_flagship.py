@@ -250,3 +250,551 @@ def test_fuse_history_matches_torch_oracle(rng):
         np.transpose(feats[..., :T * C], (0, 3, 1, 2, 4)), atol=5e-5)
     np.testing.assert_allclose(np.asarray(new_state.sweep_time),
                                sweep_cat[:, :-1], atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Zoo backbone oracles (VERDICT r1 item "weak 5": converters need numeric
+# parity vs real torch modules, not just shape tests + round-trips).
+# ---------------------------------------------------------------------------
+
+class _TorchDLABasicBlock(torch.nn.Module):
+    """Reference BasicBlock (dla.py:39-101)."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.norm1 = torch.nn.BatchNorm2d(cout)
+        self.conv2 = torch.nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.norm2 = torch.nn.BatchNorm2d(cout)
+
+    def forward(self, x, identity=None):
+        if identity is None:
+            identity = x
+        y = torch.relu(self.norm1(self.conv1(x)))
+        y = self.norm2(self.conv2(y))
+        return torch.relu(y + identity)
+
+
+class _TorchDLARoot(torch.nn.Module):
+    """Reference Root (dla.py:103-156)."""
+
+    def __init__(self, cin, cout, add_identity=False):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(cin, cout, 1, bias=False)
+        self.norm = torch.nn.BatchNorm2d(cout)
+        self.add_identity = add_identity
+
+    def forward(self, feats):
+        x = self.norm(self.conv(torch.cat(feats, 1)))
+        if self.add_identity:
+            x = x + feats[0]
+        return torch.relu(x)
+
+
+class _TorchDLATree(torch.nn.Module):
+    """Reference Tree (dla.py:157-277) with default root kwargs."""
+
+    def __init__(self, levels, cin, cout, stride=1, level_root=False,
+                 root_dim=None, add_identity=False):
+        super().__init__()
+        if root_dim is None:
+            root_dim = 2 * cout
+        if level_root:
+            root_dim += cin
+        if levels == 1:
+            self.root = _TorchDLARoot(root_dim, cout, add_identity)
+            self.tree1 = _TorchDLABasicBlock(cin, cout, stride)
+            self.tree2 = _TorchDLABasicBlock(cout, cout, 1)
+        else:
+            self.tree1 = _TorchDLATree(levels - 1, cin, cout, stride,
+                                       add_identity=add_identity)
+            self.tree2 = _TorchDLATree(levels - 1, cout, cout,
+                                       root_dim=root_dim + cout,
+                                       add_identity=add_identity)
+        self.level_root = level_root
+        self.levels = levels
+        self.downsample = (torch.nn.MaxPool2d(stride, stride=stride)
+                           if stride > 1 else None)
+        self.project = None
+        if cin != cout:
+            self.project = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, cout, 1, bias=False),
+                torch.nn.BatchNorm2d(cout))
+
+    def forward(self, x, identity=None, children=None):
+        children = [] if children is None else children
+        bottom = self.downsample(x) if self.downsample else x
+        identity = self.project(bottom) if self.project else bottom
+        if self.level_root:
+            children.append(bottom)
+        x1 = self.tree1(x, identity)
+        if self.levels == 1:
+            x2 = self.tree2(x1)
+            return self.root([x2, x1] + children)
+        children.append(x1)
+        return self.tree2(x1, children=children)
+
+
+class _TorchDLA34(torch.nn.Module):
+    """Reference DLANet depth=34 (dla.py:278-430)."""
+
+    def __init__(self):
+        super().__init__()
+        levels = (1, 1, 1, 2, 2, 1)
+        ch = (16, 32, 64, 128, 256, 512)
+        self.base_layer = torch.nn.Sequential(
+            torch.nn.Conv2d(3, ch[0], 7, 1, 3, bias=False),
+            torch.nn.BatchNorm2d(ch[0]), torch.nn.ReLU())
+        self.level0 = torch.nn.Sequential(
+            torch.nn.Conv2d(ch[0], ch[0], 3, 1, 1, bias=False),
+            torch.nn.BatchNorm2d(ch[0]), torch.nn.ReLU())
+        self.level1 = torch.nn.Sequential(
+            torch.nn.Conv2d(ch[0], ch[1], 3, 2, 1, bias=False),
+            torch.nn.BatchNorm2d(ch[1]), torch.nn.ReLU())
+        roots = (False, True, True, True)
+        for i in range(2, 6):
+            self.add_module(f"level{i}",
+                            _TorchDLATree(levels[i], ch[i - 1], ch[i],
+                                          stride=2,
+                                          level_root=roots[i - 2]))
+
+    def forward(self, x):
+        outs = []
+        x = self.base_layer(x)
+        for i in range(6):
+            x = getattr(self, f"level{i}")(x)
+            outs.append(x)
+        return outs
+
+
+def _randomize_bn(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.5)
+
+
+def test_dla34_activations_match_torch(rng):
+    """torch DLA-34 (reference structure) -> convert_dla_checkpoint ->
+    our DLANet must reproduce level4/level5 features exactly."""
+    from fbbev_tpu.models.dla import DLANet
+    from fbbev_tpu.train.checkpoint_convert import convert_dla_checkpoint
+
+    torch.manual_seed(0)
+    tm = _TorchDLA34()
+    _randomize_bn(tm)
+    tm.eval()
+
+    sd = {f"img_backbone.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    out = convert_dla_checkpoint(sd)
+    assert out["unused_keys"] == []
+
+    x = rng.randn(1, 3, 64, 192).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+
+    model = DLANet(arch="dla34", out_indices=(4, 5))
+    outs = model.apply({"params": out["params"]["img_backbone"],
+                        "batch_stats": out["batch_stats"]["img_backbone"]},
+                       jnp.asarray(np.transpose(x, (0, 2, 3, 1))), False)
+    for got, want in zip(outs, (ref[4], ref[5])):
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want.numpy(), atol=2e-3, rtol=1e-3)
+
+
+class _TorchConvNeXtBlock(torch.nn.Module):
+    """Reference ConvNeXtBlock (convnext.py:73-168, linear_pw_conv=True)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.depthwise_conv = torch.nn.Conv2d(dim, dim, 7, padding=3,
+                                              groups=dim)
+        self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.pointwise_conv1 = torch.nn.Linear(dim, 4 * dim)
+        self.pointwise_conv2 = torch.nn.Linear(4 * dim, dim)
+        self.gamma = torch.nn.Parameter(1e-6 * torch.ones(dim))
+
+    def forward(self, x):
+        s = x
+        x = self.depthwise_conv(x).permute(0, 2, 3, 1)
+        x = self.norm(x)
+        x = self.pointwise_conv2(torch.nn.functional.gelu(
+            self.pointwise_conv1(x)))
+        x = x.permute(0, 3, 1, 2) * self.gamma.view(1, -1, 1, 1)
+        return s + x
+
+
+class _TorchLayerNorm2d(torch.nn.LayerNorm):
+    """Reference LayerNorm2d (convnext.py:50-70)."""
+
+    def forward(self, x):
+        return torch.nn.functional.layer_norm(
+            x.permute(0, 2, 3, 1), self.normalized_shape, self.weight,
+            self.bias, self.eps).permute(0, 3, 1, 2)
+
+
+class _TorchConvNeXtTiny(torch.nn.Module):
+    """Reference ConvNeXt arch='tiny' (convnext.py:171-377),
+    gap_before_final_norm=False (feature-map outputs for detection)."""
+
+    def __init__(self, out_indices=(2, 3)):
+        super().__init__()
+        depths, dims = (3, 3, 9, 3), (96, 192, 384, 768)
+        self.out_indices = out_indices
+        self.downsample_layers = torch.nn.ModuleList()
+        self.downsample_layers.append(torch.nn.Sequential(
+            torch.nn.Conv2d(3, dims[0], 4, 4),
+            _TorchLayerNorm2d(dims[0], eps=1e-6)))
+        for i in range(1, 4):
+            self.downsample_layers.append(torch.nn.Sequential(
+                _TorchLayerNorm2d(dims[i - 1], eps=1e-6),
+                torch.nn.Conv2d(dims[i - 1], dims[i], 2, 2)))
+        self.stages = torch.nn.ModuleList(
+            torch.nn.Sequential(*[_TorchConvNeXtBlock(dims[i])
+                                  for _ in range(depths[i])])
+            for i in range(4))
+        for i in out_indices:
+            self.add_module(f"norm{i}", _TorchLayerNorm2d(dims[i], eps=1e-6))
+
+    def forward(self, x):
+        outs = []
+        for i, stage in enumerate(self.stages):
+            x = self.downsample_layers[i](x)
+            x = stage(x)
+            if i in self.out_indices:
+                outs.append(getattr(self, f"norm{i}")(x))
+        return outs
+
+
+def test_convnext_activations_match_torch(rng):
+    """torch ConvNeXt-tiny (reference structure) ->
+    convert_convnext_checkpoint -> our ConvNeXt: identical stage-2/3
+    feature maps."""
+    from fbbev_tpu.models.convnext import ConvNeXt
+    from fbbev_tpu.train.checkpoint_convert import convert_convnext_checkpoint
+
+    torch.manual_seed(1)
+    tm = _TorchConvNeXtTiny()
+    # non-degenerate weights: defaults give ~0 outputs through layer scale
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+    tm.eval()
+
+    sd = {f"img_backbone.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    out = convert_convnext_checkpoint(sd, arch="tiny")
+    assert out["unused_keys"] == []
+
+    x = rng.randn(1, 3, 64, 192).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+
+    model = ConvNeXt(arch="tiny", out_indices=(2, 3))
+    outs = model.apply({"params": out["params"]["img_backbone"]},
+                       jnp.asarray(np.transpose(x, (0, 2, 3, 1))), False)
+    for got, want in zip(outs, ref):
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want.numpy(), atol=2e-3, rtol=1e-3)
+
+
+class _TorchOSA(torch.nn.Module):
+    """Reference _OSA_module (vovnet.py:189-250, non-depthwise); the eSE
+    is applied unconditionally in _forward."""
+
+    def __init__(self, cin, stage_ch, concat_ch, layer_per_block, name,
+                 identity=False):
+        super().__init__()
+        from collections import OrderedDict
+        self.identity = identity
+        self.layers = torch.nn.ModuleList()
+        c = cin
+        for i in range(layer_per_block):
+            self.layers.append(torch.nn.Sequential(OrderedDict([
+                (f"{name}_{i}/conv",
+                 torch.nn.Conv2d(c, stage_ch, 3, 1, 1, bias=False)),
+                (f"{name}_{i}/norm", torch.nn.BatchNorm2d(stage_ch)),
+                (f"{name}_{i}/relu", torch.nn.ReLU())])))
+            c = stage_ch
+        cat_in = cin + layer_per_block * stage_ch
+        self.concat = torch.nn.Sequential(OrderedDict([
+            (f"{name}_concat/conv",
+             torch.nn.Conv2d(cat_in, concat_ch, 1, bias=False)),
+            (f"{name}_concat/norm", torch.nn.BatchNorm2d(concat_ch)),
+            (f"{name}_concat/relu", torch.nn.ReLU())]))
+        self.ese = torch.nn.Module()
+        self.ese.fc = torch.nn.Conv2d(concat_ch, concat_ch, 1)
+
+    def forward(self, x):
+        idn = x
+        outs = [x]
+        for layer in self.layers:
+            x = layer(x)
+            outs.append(x)
+        x = self.concat(torch.cat(outs, 1))
+        s = torch.nn.functional.relu6(
+            self.ese.fc(x.mean((2, 3), keepdim=True)) + 3.0) / 6.0
+        x = x * s
+        if self.identity:
+            x = x + idn
+        return x
+
+
+class _TorchVoVNet19(torch.nn.Module):
+    """Reference VoVNetCP spec V-19-eSE (vovnet.py:50-58, 288-384)."""
+
+    def __init__(self):
+        super().__init__()
+        from collections import OrderedDict
+        stem_ch = (64, 64, 128)
+        stem = []
+        for i, (cin, cout, s) in enumerate(
+                [(3, 64, 2), (64, 64, 1), (64, 128, 2)]):
+            stem += [(f"stem_{i + 1}/conv",
+                      torch.nn.Conv2d(cin, cout, 3, s, 1, bias=False)),
+                     (f"stem_{i + 1}/norm", torch.nn.BatchNorm2d(cout)),
+                     (f"stem_{i + 1}/relu", torch.nn.ReLU())]
+        self.stem = torch.nn.Sequential(OrderedDict(stem))
+        conv_ch = (128, 160, 192, 224)
+        out_ch = (256, 512, 768, 1024)
+        cin = 128
+        for i in range(4):
+            n = i + 2
+            stage = torch.nn.Sequential()
+            if n != 2:
+                stage.add_module("Pooling",
+                                 torch.nn.MaxPool2d(3, 2, ceil_mode=True))
+            stage.add_module(f"OSA{n}_1",
+                             _TorchOSA(cin, conv_ch[i], out_ch[i], 3,
+                                       f"OSA{n}_1"))
+            self.add_module(f"stage{n}", stage)
+            cin = out_ch[i]
+
+    def forward(self, x):
+        x = self.stem(x)
+        outs = []
+        for n in range(2, 6):
+            x = getattr(self, f"stage{n}")(x)
+            outs.append(x)
+        return outs
+
+
+def test_vovnet_activations_match_torch(rng):
+    """torch VoVNet-19-eSE (reference structure incl. ceil-mode stage
+    pools) -> convert_vovnet_checkpoint -> our VoVNetCP: identical
+    stage-4/5 features."""
+    from fbbev_tpu.models.vovnet import VoVNetCP
+    from fbbev_tpu.train.checkpoint_convert import convert_vovnet_checkpoint
+
+    torch.manual_seed(2)
+    tm = _TorchVoVNet19()
+    _randomize_bn(tm, seed=2)
+    tm.eval()
+
+    sd = {f"img_backbone.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    out = convert_vovnet_checkpoint(sd, spec_name="V-19-eSE")
+    assert out["unused_keys"] == []
+
+    x = rng.randn(1, 3, 64, 192).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+
+    model = VoVNetCP(spec_name="V-19-eSE", out_indices=(2, 3))
+    outs = model.apply({"params": out["params"]["img_backbone"],
+                        "batch_stats": out["batch_stats"]["img_backbone"]},
+                       jnp.asarray(np.transpose(x, (0, 2, 3, 1))), False)
+    for got, want in zip(outs, (ref[2], ref[3])):
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want.numpy(), atol=2e-3, rtol=1e-3)
+
+
+class _TorchWindowMSA(torch.nn.Module):
+    """Reference WindowMSA (swin.py:244-352) incl. the double_step_seq
+    relative-position index."""
+
+    def __init__(self, dim, heads, ws):
+        super().__init__()
+        self.heads, self.ws = heads, ws
+        self.scale = (dim // heads) ** -0.5
+        self.relative_position_bias_table = torch.nn.Parameter(
+            torch.randn((2 * ws - 1) ** 2, heads) * 0.02)
+        s1 = torch.arange(0, (2 * ws - 1) * ws, 2 * ws - 1)
+        s2 = torch.arange(0, ws)
+        ric = (s1[:, None] + s2[None, :]).reshape(1, -1)
+        self.register_buffer("relative_position_index",
+                             (ric + ric.T).flip(1).contiguous())
+        self.qkv = torch.nn.Linear(dim, dim * 3)
+        self.proj = torch.nn.Linear(dim, dim)
+
+    def forward(self, x, mask=None):
+        B, N, C = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads,
+                                  C // self.heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * self.scale, qkv[1], qkv[2]
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(
+                self.ws * self.ws, self.ws * self.ws, -1)
+        attn = attn + bias.permute(2, 0, 1).unsqueeze(0)
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = (attn.view(B // nW, nW, self.heads, N, N)
+                    + mask.unsqueeze(1).unsqueeze(0)).view(-1, self.heads,
+                                                           N, N)
+        attn = attn.softmax(-1)
+        return self.proj((attn @ v).transpose(1, 2).reshape(B, N, C))
+
+
+class _TorchShiftWindowMSA(torch.nn.Module):
+    """Reference ShiftWindowMSA (swin.py:355-513)."""
+
+    def __init__(self, dim, heads, ws, shift):
+        super().__init__()
+        self.ws, self.shift = ws, shift
+        self.w_msa = _TorchWindowMSA(dim, heads, ws)
+
+    def _partition(self, x):
+        B, H, W, C = x.shape
+        ws = self.ws
+        x = x.view(B, H // ws, ws, W // ws, ws, C)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+
+    def forward(self, q, hw):
+        import torch.nn.functional as F
+        B, L, C = q.shape
+        H, W = hw
+        q = q.view(B, H, W, C)
+        ws = self.ws
+        pad_r, pad_b = (-W) % ws, (-H) % ws
+        q = F.pad(q, (0, 0, 0, pad_r, 0, pad_b))
+        Hp, Wp = H + pad_b, W + pad_r
+        mask = None
+        if self.shift:
+            q = torch.roll(q, (-self.shift, -self.shift), dims=(1, 2))
+            img = torch.zeros((1, Hp, Wp, 1))
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -self.shift),
+                       slice(-self.shift, None)):
+                for wsl in (slice(0, -ws), slice(-ws, -self.shift),
+                            slice(-self.shift, None)):
+                    img[:, hs, wsl, :] = cnt
+                    cnt += 1
+            mw = self._partition(img).reshape(-1, ws * ws)
+            mask = mw.unsqueeze(1) - mw.unsqueeze(2)
+            mask = mask.masked_fill(mask != 0, -100.0)
+        xw = self._partition(q).reshape(-1, ws * ws, C)
+        out = self.w_msa(xw, mask).reshape(-1, ws, ws, C)
+        out = out.view(B, Hp // ws, Wp // ws, ws, ws, C)
+        out = out.permute(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+        if self.shift:
+            out = torch.roll(out, (self.shift, self.shift), dims=(1, 2))
+        return out[:, :H, :W].reshape(B, H * W, C)
+
+
+class _TorchSwinBlock(torch.nn.Module):
+    """Reference SwinBlock (swin.py:516-593); FFN = mmcv FFN with
+    Sequential(Linear, GELU) + Linear -> ffn.layers.0.0 / ffn.layers.1."""
+
+    def __init__(self, dim, heads, ws, shift):
+        super().__init__()
+        self.norm1 = torch.nn.LayerNorm(dim)
+        self.attn = _TorchShiftWindowMSA(dim, heads, ws, shift)
+        self.norm2 = torch.nn.LayerNorm(dim)
+        self.ffn = torch.nn.Module()
+        self.ffn.layers = torch.nn.ModuleList([
+            torch.nn.Sequential(torch.nn.Linear(dim, 4 * dim),
+                                torch.nn.GELU()),
+            torch.nn.Linear(4 * dim, dim)])
+
+    def forward(self, x, hw):
+        x = x + self.attn(self.norm1(x), hw)
+        y = self.norm2(x)
+        y = self.ffn.layers[1](self.ffn.layers[0](y))
+        return x + y
+
+
+class _TorchSwinTiny(torch.nn.Module):
+    """Reference SwinTransformer arch tiny (depths 2,2,6,2; heads
+    3,6,12,24; embed 96), out_indices (2, 3)."""
+
+    def __init__(self, ws=7):
+        super().__init__()
+        depths, heads, embed = (2, 2, 6, 2), (3, 6, 12, 24), 96
+        self.patch_embed = torch.nn.Module()
+        self.patch_embed.projection = torch.nn.Conv2d(3, embed, 4, 4)
+        self.patch_embed.norm = torch.nn.LayerNorm(embed)
+        self.stages = torch.nn.ModuleList()
+        for i, d in enumerate(depths):
+            dim = embed * 2 ** i
+            stage = torch.nn.Module()
+            stage.blocks = torch.nn.ModuleList([
+                _TorchSwinBlock(dim, heads[i], ws,
+                                0 if j % 2 == 0 else ws // 2)
+                for j in range(d)])
+            if i < 3:
+                stage.downsample = torch.nn.Module()
+                stage.downsample.sampler = torch.nn.Unfold(2, stride=2)
+                stage.downsample.norm = torch.nn.LayerNorm(4 * dim)
+                stage.downsample.reduction = torch.nn.Linear(
+                    4 * dim, 2 * dim, bias=False)
+            self.stages.append(stage)
+        self.norm2 = torch.nn.LayerNorm(embed * 4)
+        self.norm3 = torch.nn.LayerNorm(embed * 8)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        x = self.patch_embed.projection(x)
+        H, W = x.shape[2], x.shape[3]
+        x = self.patch_embed.norm(x.flatten(2).transpose(1, 2))
+        outs = []
+        for i, stage in enumerate(self.stages):
+            for blk in stage.blocks:
+                x = blk(x, (H, W))
+            if i in (2, 3):
+                normed = getattr(self, f"norm{i}")(x)
+                outs.append(normed.view(-1, H, W, normed.shape[-1])
+                            .permute(0, 3, 1, 2))
+            if i < 3:
+                y = x.view(-1, H, W, x.shape[-1]).permute(0, 3, 1, 2)
+                if H % 2 or W % 2:
+                    y = F.pad(y, (0, W % 2, 0, H % 2))
+                y = stage.downsample.sampler(y).transpose(1, 2)
+                x = stage.downsample.reduction(stage.downsample.norm(y))
+                H, W = (H + 1) // 2, (W + 1) // 2
+        return outs
+
+
+def test_swin_activations_match_torch(rng):
+    """torch Swin-tiny (reference/mmcv structure: double_step_seq rel-pos
+    index, Unfold patch merging, shifted-window masks) ->
+    convert_swin_checkpoint -> our SwinTransformer: identical stage-2/3
+    features."""
+    from fbbev_tpu.models.swin import SwinTransformer
+    from fbbev_tpu.train.checkpoint_convert import convert_swin_checkpoint
+
+    torch.manual_seed(3)
+    tm = _TorchSwinTiny()
+    tm.eval()
+
+    sd = {f"img_backbone.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()
+          if not k.endswith("relative_position_index")}
+    out = convert_swin_checkpoint(sd, arch="tiny")
+    assert out["unused_keys"] == []
+
+    x = rng.randn(1, 3, 64, 192).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x))
+
+    model = SwinTransformer(arch="tiny", out_indices=(2, 3))
+    outs = model.apply({"params": out["params"]["img_backbone"]},
+                       jnp.asarray(np.transpose(x, (0, 2, 3, 1))), False)
+    for got, want in zip(outs, ref):
+        got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want.numpy(), atol=3e-3, rtol=1e-3)

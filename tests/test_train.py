@@ -126,3 +126,37 @@ def test_gradients_reach_every_component():
     for group, tree in grads.items():
         norms = [float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(tree)]
         assert sum(norms) > 0, f"no gradient reaches {group}"
+
+
+def test_freeze_submodules_pins_params_and_bn_stats():
+    """freeze=('img_backbone',): one train step must leave the backbone's
+    params AND BN running stats bit-identical while everything else moves
+    (reference freeze options, tools/train.py:245-275)."""
+    rng = np.random.RandomState(1)
+    model = tiny_model()
+    frozen = ("img_backbone",)
+    trainer = Trainer(model, optimizer=make_optimizer(frozen=frozen),
+                      frozen=frozen)
+    batch = tiny_batch(rng)
+    tstate = init_temporal_state(2, (25, 25, 8), 2, 80)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, tstate)
+    s1, _, metrics = trainer.train_step(state, tstate, batch,
+                                        do_history=False)
+    assert np.isfinite(float(metrics["loss_total"]))
+
+    def flat(tree):
+        return jax.tree_util.tree_leaves_with_path(tree)
+
+    for (path, a), (_, b) in zip(flat(state.params["img_backbone"]),
+                                 flat(s1.params["img_backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+    for (path, a), (_, b) in zip(
+            flat(dict(state.batch_stats)["img_backbone"]),
+            flat(dict(s1.batch_stats)["img_backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+    moved = [not np.allclose(np.asarray(a), np.asarray(b))
+             for (_, a), (_, b) in zip(flat(state.params["img_neck"]),
+                                       flat(s1.params["img_neck"]))]
+    assert any(moved)
