@@ -175,8 +175,14 @@ def lovasz_softmax_loss(logits: jnp.ndarray, target: jnp.ndarray,
           * valid[:, None].astype(jnp.float32))        # (N, C)
     errors = jnp.where(valid[:, None], jnp.abs(fg - probas), 0.0)
     neg_err_t = -errors.T                               # (C, N)
-    _, errors_sorted, fg_sorted = jax.lax.sort(
-        (neg_err_t, errors.T, fg.T), dimension=1, num_keys=1)
+    # sort moves 5 bytes/element (f32 key + i8 payload): errors_sorted is
+    # recovered by negating the sorted key, and the {0,1} fg payload rides
+    # as int8 -- exact, ~2.4x less sort traffic than the naive
+    # (key, errors, fg) f32 triple
+    neg_sorted, fg_i8 = jax.lax.sort(
+        (neg_err_t, fg.T.astype(jnp.int8)), dimension=1, num_keys=1)
+    errors_sorted = -neg_sorted
+    fg_sorted = fg_i8.astype(jnp.float32)
     gts = jnp.sum(fg_sorted, axis=1, keepdims=True)     # (C, 1)
     inter = gts - jnp.cumsum(fg_sorted, axis=1)
     union = gts + jnp.cumsum(1.0 - fg_sorted, axis=1)
