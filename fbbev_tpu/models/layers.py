@@ -46,6 +46,30 @@ _POINTWISE_EVAL_ONLY = True
 # nn.Conv-compatible so the routing is checkpoint-safe.
 _PALLAS3X3 = os.environ.get("FBBEV_PALLAS3X3", "0") == "1"
 
+# route eligible 3x3x3 stride-1 3D convs through the Pallas z-banded
+# im2col kernel (ops/pallas_conv3d.py) in EVAL graphs on TPU.  Opt-in via
+# FBBEV_CONV3D=pallas until the on-chip A/B lands; param layout is
+# nn.Conv-compatible so the routing is checkpoint-safe.
+_PALLAS_CONV3D = os.environ.get("FBBEV_CONV3D", "") == "pallas"
+
+
+def _pallas3d_interpret() -> bool:
+    return os.environ.get("FBBEV_FORCE_PALLAS_CONV3D") == "interpret"
+
+
+def _pallas3d_eligible(x, features, ks, st, dl, pad, ndim, train) -> bool:
+    if not _PALLAS_CONV3D or "pallas3d" in _DISABLED_DECOMP:
+        return False
+    if train or ndim != 3 or ks != (3, 3, 3) or st != (1, 1, 1) \
+            or dl != (1, 1, 1):
+        return False
+    if pad not in ("SAME", [(1, 1)] * 3):
+        return False
+    if jax.default_backend() != "tpu" and not _pallas3d_interpret():
+        return False
+    from fbbev_tpu.ops import pallas_conv3d
+    return pallas_conv3d.supports(x.shape, features)
+
 
 def _pallas3x3_eligible(x, ks, st, dl, pad, ndim) -> bool:
     if not _PALLAS3X3 or "pallas3x3" in _DISABLED_DECOMP or ndim != 2:
@@ -76,6 +100,32 @@ class PallasConv3x3(nn.Module):
                             (3, 3, Cin, self.features))
         y = pallas_conv.conv3x3(x.astype(self.dtype),
                                 kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class PallasConv3D(nn.Module):
+    """3x3x3 stride-1 SAME conv on the Pallas z-banded im2col kernel
+    (``ops/pallas_conv3d.py``); param layout matches ``nn.Conv`` /
+    ``Conv3DZSlab`` (kernel (3, 3, 3, Cin, Cout)), so the train path can
+    create the params through ``Conv3DZSlab`` and eval can route here."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from fbbev_tpu.ops import pallas_conv3d
+        Cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, Cin, self.features))
+        y = pallas_conv3d.conv3d_3x3x3(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            interpret=_pallas3d_interpret())
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
@@ -273,7 +323,11 @@ class ConvBN(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * self.ndim
-        if ("zslab" not in _DISABLED_DECOMP and not self.force_native
+        if (not self.force_native and _pallas3d_eligible(
+                x, self.features, ks, st, dl, pad, self.ndim, train)):
+            x = PallasConv3D(self.features, use_bias=self.use_bias,
+                             dtype=self.dtype, name="conv")(x)
+        elif ("zslab" not in _DISABLED_DECOMP and not self.force_native
                 and self.ndim == 3 and ks == (3, 3, 3) and dl == (1, 1, 1)
                 and pad == [(1, 1)] * 3 and st[0] == st[1] == st[2]
                 and st[0] in (1, 2)):
