@@ -315,7 +315,9 @@ class FBOCC(nn.Module):
         if (self.use_tiled_warp and not train and (on_tpu or interpret)
                 and (os.environ.get("FBBEV_FUSE_WARP") == "1" or interpret)
                 and os.environ.get("FBBEV_DISABLE_FUSE_WARP") != "1"
-                and pallas_fuse_warp.supports(state.history_bev.shape)):
+                and pallas_fuse_warp.supports(
+                    state.history_bev.shape,
+                    itemsize=jnp.dtype(self.dtype).itemsize)):
             # Fused Pallas path: one kernel does layout-free warp +
             # start-reset + ring-slot update + concat (docs/PERF.md r3).
             # Frames live in fixed ring slots; `perm` restores age order

@@ -111,7 +111,11 @@ class OccHead(nn.Module):
         Y, X, Z = target_size
         fuseable = (not train
                     and os.environ.get("FBBEV_OCCFUSE", "0") == "1"
-                    and jax.default_backend() == "tpu"
+                    # test hook: force the kernel through the Pallas
+                    # interpreter on any platform (full-model equivalence)
+                    and (jax.default_backend() == "tpu"
+                         or os.environ.get("FBBEV_FORCE_OCCFUSE")
+                         == "interpret")
                     and all(s[1] and Y % s[1] == 0 and s[2]
                             and X % s[2] == 0 and s[3] and Z % s[3] == 0
                             for s in (f.shape for f in outputs)))

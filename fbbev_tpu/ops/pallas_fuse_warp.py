@@ -252,7 +252,8 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
     T = TC // C
     assert T * C == TC and curr.shape == (B, Y, X, Z, C), (
         hist.shape, curr.shape)
-    assert supports(hist.shape, C), (hist.shape, C)
+    assert supports(hist.shape, C, hist.dtype.itemsize), (
+        hist.shape, C, hist.dtype)
     Ht, Wt = Y // TILE, X // TILE
     CB = _channel_block(TC, C, hist.dtype.itemsize, Z)
     NCB = TC // CB
@@ -314,12 +315,14 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
             newh.reshape(B, Z, Y, X, TC))
 
 
-def supports(hist_shape, C: int = 80) -> bool:
-    """Whether :func:`fuse_warp` handles this (B, Z, Y, X, TC) history."""
+def supports(hist_shape, C: int = 80, itemsize: int = 2) -> bool:
+    """Whether :func:`fuse_warp` handles this (B, Z, Y, X, TC) history
+    at the given element size (pass the COMPUTE dtype's itemsize -- the
+    kernel runs on the history cast to the model dtype)."""
     _, Z, Y, X, TC = hist_shape
     if not (Y % TILE == 0 and X % TILE == 0
             and Y >= SLAB_Y and X >= SLAB_X and Z >= ZBAND):
         return False
     if TC % C:
         return False
-    return _channel_block(TC, C, 2, Z) is not None
+    return _channel_block(TC, C, itemsize, Z) is not None

@@ -277,3 +277,47 @@ def test_dla_shapes(rng):
     assert outs[0].shape == (1, 4, 12, 256)
     assert outs[1].shape == (1, 2, 6, 512)
     assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_eval_kernel_composition(rng, monkeypatch):
+    """Full FBOCC eval forward with ALL Pallas eval kernels forced through
+    the interpreter (fuse_warp + conv3d + occfuse) vs the XLA fallback
+    path -- the composition that runs on TPU when the fast eval config is
+    enabled.  Streamed over 3 frames so the ring-slot history state is
+    exercised (outputs must match; state representations differ by
+    design, ops/pallas_fuse_warp.py)."""
+    from fbbev_tpu.models import layers
+
+    grid = dict(x=(-40.0, 40.0, 4.0), y=(-40.0, 40.0, 4.0),
+                z=(-1.0, 5.4, 0.8), depth=(2.0, 42.0, 2.0))
+    bgrid = dict(x=(-40.0, 40.0, 4.0), y=(-40.0, 40.0, 4.0),
+                 z=(-1.0, 5.4, 1.6))
+    model = FBOCC(grid_config=grid, bevformer_grid_config=bgrid,
+                  input_size=(64, 176), num_cams=2, history_cat_num=8,
+                  voxel_channels=(64, 128, 128), voxel_out_channels=128,
+                  depth_channels=20, dtype=jnp.bfloat16)
+    state0 = init_temporal_state(1, (20, 20, 8), 8, 80,
+                                 dtype=jnp.bfloat16)
+    batches = [_batch(rng, start=(i == 0)) for i in range(3)]
+    variables = model.init(jax.random.PRNGKey(0), batches[0], state0)
+
+    def run():
+        st, outs = state0, []
+        for b in batches:
+            o, st = model.apply(variables, b, st, train=False)
+            outs.append(np.asarray(o["occ_logits"]))
+        return outs
+
+    ref = run()
+
+    monkeypatch.setenv("FBBEV_FORCE_FUSE_WARP", "interpret")
+    monkeypatch.setenv("FBBEV_FORCE_PALLAS_CONV3D", "interpret")
+    monkeypatch.setenv("FBBEV_OCCFUSE", "1")
+    monkeypatch.setenv("FBBEV_FORCE_OCCFUSE", "interpret")
+    monkeypatch.setattr(layers, "_PALLAS_CONV3D", True)
+    fast = run()
+
+    for i, (a, b) in enumerate(zip(ref, fast)):
+        # both paths run bf16; differences are kernel-vs-XLA rounding
+        np.testing.assert_allclose(a, b, rtol=0.06, atol=0.06,
+                                   err_msg=f"frame {i}")
