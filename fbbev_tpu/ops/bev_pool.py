@@ -81,6 +81,15 @@ def lss_voxel_pool(coor: jnp.ndarray, depth: jnp.ndarray, feat: jnp.ndarray,
     C = feat.shape[-1]
     nx, ny, nz = (int(g) for g in grid_size)
     P = B * N * D * fH * fW
+    # opt-in half-precision pool (A/B probe: the reference's deployed
+    # engine runs this pool in fp16 -- deployment/README.md FP16 row).
+    # bf16 halves the scatter's HBM traffic; accumulation error is
+    # ~sqrt(points/voxel) ulps, so this stays an experiment until the
+    # parity harness prices the mIoU cost.
+    import os
+    if os.environ.get("FBBEV_POOL_DTYPE") == "bf16":
+        depth = depth.astype(jnp.bfloat16)
+        feat = feat.astype(jnp.bfloat16)
 
     lower = jnp.asarray(grid_lower, jnp.float32)
     interval = jnp.asarray(grid_interval, jnp.float32)
@@ -108,7 +117,8 @@ def lss_voxel_pool(coor: jnp.ndarray, depth: jnp.ndarray, feat: jnp.ndarray,
             prod, ranks_bev, num_segments=num_voxels + 1,
         )
     out = out[:num_voxels].reshape(B, nz, ny, nx, C)
-    return jnp.transpose(out, (0, 2, 3, 1, 4))  # (B, Y, X, Z, C)
+    return jnp.transpose(out, (0, 2, 3, 1, 4)).astype(
+        jnp.float32)  # (B, Y, X, Z, C)
 
 
 def lss_voxel_pool_precomputed(ranks_bev: jnp.ndarray, depth: jnp.ndarray,

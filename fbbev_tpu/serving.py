@@ -37,6 +37,7 @@ class FixedRigPipeline:
         self.batch = B
 
         self.ranks_bev = None
+        self.pool_plan = None
         if use_host_ranks:
             coor = np.asarray(geometry.frustum_to_ego(
                 jnp.asarray(fp.frustum), self.cam))
@@ -44,9 +45,23 @@ class FixedRigPipeline:
             from fbbev_tpu.ops import host_lib
             batch_idx = np.repeat(
                 np.arange(B, dtype=np.int32), P // B)
-            self.ranks_bev = jnp.asarray(host_lib.compute_voxel_ranks(
+            ranks = host_lib.compute_voxel_ranks(
                 coor.reshape(-1, 3), batch_idx, fp.grid_lower,
-                fp.grid_interval, self.grid, B))
+                fp.grid_interval, self.grid, B)
+            self.ranks_bev = jnp.asarray(ranks)
+            # Pallas sorted-slab pool (ops/pallas_pool.py): host-planned
+            # per-(camera, window) blocks over the static rig geometry.
+            # OPT-IN (FBBEV_POOL=pallas) until its on-chip A/B lands.
+            import os
+            from fbbev_tpu.ops import pallas_pool
+            fH = model.input_size[0] // fp.downsample
+            fW = model.input_size[1] // fp.downsample
+            if (pallas_pool.supports(fH, fW,
+                                     model.single_bev_num_channels, fp.D)
+                    and os.environ.get("FBBEV_POOL") == "pallas"):
+                self.pool_plan = pallas_pool.plan_pool(
+                    np.asarray(ranks), B, model.num_cams, fp.D, fH, fW,
+                    self.grid)
 
         self._infer = jax.jit(self._infer_impl)
         self.state = init_temporal_state(
@@ -64,7 +79,15 @@ class FixedRigPipeline:
             from fbbev_tpu.models import depth_net as dn
             context, depth = mdl.depth_net(feats, dn.get_mlp_input(cam),
                                            False)
-            if ranks_bev is not None:
+            if self.pool_plan is not None:
+                import os
+                from fbbev_tpu.ops.pallas_pool import lss_voxel_pool_planned
+                bev = lss_voxel_pool_planned(
+                    self.pool_plan, depth.astype(jnp.float32),
+                    context.astype(jnp.float32),
+                    interpret=os.environ.get("FBBEV_FORCE_POOL")
+                    == "interpret")
+            elif ranks_bev is not None:
                 from fbbev_tpu.ops.bev_pool import lss_voxel_pool_precomputed
                 bev = lss_voxel_pool_precomputed(
                     ranks_bev, depth.astype(jnp.float32),

@@ -10,6 +10,9 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fbbev_xla_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import jax  # noqa: E402
 
 # The axon TPU plugin can override JAX_PLATFORMS; force CPU explicitly.
