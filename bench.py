@@ -100,7 +100,49 @@ def main():
     # exactly like the per-frame-dispatch version of this bench)
     staged = [make_batch(i + 1, False) for i in range(4)]
     import os
-    if os.environ.get("FBBEV_BENCH_STREAM") == "1":
+    if os.environ.get("FBBEV_BENCH_SERVING") == "1":
+        # Deploy-path benchmark: the FixedRigPipeline (host-precomputed
+        # voxel ranks, optional Pallas pool) driven through a streaming
+        # scan -- the TPU analogue of the reference's TensorRT-engine
+        # benchmark (deployment/README.md latency table), which likewise
+        # hoists all rig-static index math out of the measured graph.
+        # Equivalence vs the per-frame model path: tests/test_serving.py.
+        from fbbev_tpu.serving import FixedRigPipeline
+
+        cam = geometry.CamParams(
+            rots=batch0["rots"], trans=batch0["trans"],
+            intrins=batch0["intrins"], post_rots=batch0["post_rots"],
+            post_trans=batch0["post_trans"], bda=batch0["bda"])
+        pipe = FixedRigPipeline(model, variables, cam)
+
+        @jax.jit
+        def serve_stream(variables, frames, state):
+            def body(st, fr):
+                pred, st = pipe._infer_impl(
+                    variables, fr["imgs"], fr["meta"], st, pipe.ranks_bev)
+                return st, jnp.sum(pred)
+            st, sums = jax.lax.scan(body, state, frames)
+            return sums, st
+
+        def meta_of(b):
+            return dict(start_of_sequence=b["start_of_sequence"],
+                        sequence_group_idx=b["sequence_group_idx"],
+                        curr_to_prev_ego_rt=b["curr_to_prev_ego_rt"])
+
+        frames = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[dict(imgs=b["imgs"], meta=meta_of(b))
+              for b in (staged * (CHUNK // len(staged)))])
+        sstate = pipe.state
+        sums, sstate = serve_stream(variables, frames, sstate)
+        np.asarray(sums)
+        rounds = 2
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            sums, sstate = serve_stream(variables, frames, sstate)
+        np.asarray(sums)
+        dt = (time.perf_counter() - t0) / (rounds * CHUNK)
+    elif os.environ.get("FBBEV_BENCH_STREAM") == "1":
         # streaming scan pipeline (opt-in until its on-chip validation
         # lands -- the first attempt was blocked by a wedged chip lease,
         # docs/ROUND3.md)
