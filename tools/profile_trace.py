@@ -77,6 +77,10 @@ def profile_callable(fn, args, iters: int = 3,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--train", action="store_true")
+    p.add_argument("--serving", action="store_true",
+                   help="profile the FixedRigPipeline deploy graph "
+                        "(host ranks, folded BN; honours FBBEV_POOL / "
+                        "FBBEV_FUSE_WARP / FBBEV_OCCFUSE etc.)")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--config", default=None)
@@ -124,6 +128,25 @@ def main():
         state = trainer.init_state(jax.random.PRNGKey(0), batch, tstate)
         fn = lambda s, t, b: trainer.train_step(s, t, b)  # noqa: E731
         fargs = (state, tstate, batch)
+    elif args.serving:
+        from fbbev_tpu.serving import FixedRigPipeline
+        from fbbev_tpu.utils.fuse_bn import fold_batch_norms
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
+                                        tstate)
+        variables = jax.tree.map(jnp.asarray, fold_batch_norms(variables))
+        cam = geometry.CamParams(
+            rots=batch["rots"], trans=batch["trans"],
+            intrins=batch["intrins"], post_rots=batch["post_rots"],
+            post_trans=batch["post_trans"], bda=batch["bda"])
+        pipe = FixedRigPipeline(model, variables, cam)
+        meta = dict(start_of_sequence=batch["start_of_sequence"],
+                    sequence_group_idx=batch["sequence_group_idx"],
+                    curr_to_prev_ego_rt=batch["curr_to_prev_ego_rt"])
+
+        @jax.jit
+        def fn(v, im, m, st):
+            return pipe._infer_impl(v, im, m, st, pipe.ranks_bev)
+        fargs = (variables, batch["imgs"], meta, pipe.state)
     else:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
                                         tstate)
