@@ -91,3 +91,47 @@ class LSSViewTransformer3D:
             in_specs=(P("data", "space"), P("data", "space"),
                       P("data", "space")),
             out_specs=P("data"))(coor, depth, context)
+
+
+@NECKS.register
+class LSSViewTransformer:
+    """Zoo 2D LSS view transformer (BEVDet-family original).
+
+    Parity reference: ``LSSViewTransformer``
+    (``/root/reference/mmdet3d/models/necks/view_transformer.py:16-330``)
+    and its BEVDepth-style successors (``:332``, ``:1001``) -- the classes
+    the fbbev 3D variant was derived from.  The zoo original differs from
+    :class:`LSSViewTransformer3D` in two ways only:
+
+    * the BEV grid has a SINGLE z bin spanning the full z range, so the
+      output is a 2D BEV map ``(B, Y, X, C)`` (``view_transformer.py:283``
+      squeezes the z axis);
+    * the depth distribution + transformed features come from a plain
+      ``1x1`` conv head (``depthnet: Conv2d(in, D + out)``,
+      ``view_transformer.py:63-64``) rather than the camera-aware
+      CM_DepthNet (use :class:`fbbev_tpu.models.depth_net.CM_DepthNet`
+      with this transformer to reproduce the BEVDepth variants).
+
+    The splat itself reuses the same TPU segment-sum pool (including the
+    mesh-aware shard_map path) as the 3D transformer.
+    """
+
+    def __init__(self, grid_config, input_size: Tuple[int, int],
+                 downsample: int = 16, out_channels: int = 64):
+        gc = dict(grid_config)
+        zlo, zhi = gc["z"][0], gc["z"][1]
+        gc["z"] = (zlo, zhi, zhi - zlo)  # one z bin: 2D BEV
+        self._vt3d = LSSViewTransformer3D(gc, input_size, downsample)
+        self.out_channels = out_channels
+        self.D = self._vt3d.D
+        self.frustum = self._vt3d.frustum
+        self.dx, self.bx, self.nx = (self._vt3d.dx, self._vt3d.bx,
+                                     self._vt3d.nx)
+
+    def __call__(self, cam: geometry.CamParams, context: jnp.ndarray,
+                 depth: jnp.ndarray) -> jnp.ndarray:
+        """context (B, N, fH, fW, C); depth (B, N, D, fH, fW) softmaxed.
+
+        Returns (B, Y, X, C) 2D BEV features."""
+        bev = self._vt3d(cam, context, depth)  # (B, Y, X, 1, C)
+        return bev[:, :, :, 0, :]

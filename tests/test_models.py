@@ -321,3 +321,34 @@ def test_eval_kernel_composition(rng, monkeypatch):
         # both paths run bf16; differences are kernel-vs-XLA rounding
         np.testing.assert_allclose(a, b, rtol=0.06, atol=0.06,
                                    err_msg=f"frame {i}")
+
+
+def test_zoo_lss_2d_equals_3d_zsum(rng):
+    """Zoo LSSViewTransformer (view_transformer.py:16-330): the 2D BEV is
+    exactly the z-collapse of the 3D splat on a single-z-bin grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbbev_tpu import geometry
+    from fbbev_tpu.models.lss import (LSSViewTransformer,
+                                      LSSViewTransformer3D)
+    grid = {"x": (-40., 40., 3.2), "y": (-40., 40., 3.2),
+            "z": (-1., 5.4, .8), "depth": (2., 42., 2.)}
+    vt = LSSViewTransformer(grid, (64, 128), 16, 16)
+    B, N = 1, 2
+    intr = np.diag([200., 200., 1.]).astype(np.float32)
+    intr[0, 2], intr[1, 2] = 64., 32.
+    cam = geometry.CamParams(
+        rots=jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        trans=jnp.zeros((B, N, 3)),
+        intrins=jnp.broadcast_to(jnp.asarray(intr), (B, N, 3, 3)),
+        post_rots=jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        post_trans=jnp.zeros((B, N, 3)),
+        bda=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)))
+    depth = jax.nn.softmax(jnp.asarray(rng.randn(B, N, vt.D, 4, 8)), 2)
+    ctx = jnp.asarray(rng.randn(B, N, 4, 8, 16).astype(np.float32))
+    out = vt(cam, ctx, depth)
+    assert out.shape == (1, 25, 25, 16)
+    out3 = LSSViewTransformer3D(grid, (64, 128), 16)(cam, ctx, depth)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out3.sum(3)),
+                               atol=1e-5)
