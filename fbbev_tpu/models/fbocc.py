@@ -111,6 +111,10 @@ class FBOCC(nn.Module):
     img_feat_channels: int = 256
     single_bev_num_channels: int = 80
     depth_channels: int = 80
+    # CM_DepthNet trunk width (reference default 512,
+    # cm_depthnet.py mid_channels); configurable so size-reduced
+    # configs (the multichip dryrun) don't carry a 25M-param depth net
+    depth_mid_channels: int = 512
     history_cat_num: int = 16
     history_cat_conv_out_channels: int = 160
     readd: bool = True
@@ -184,6 +188,7 @@ class FBOCC(nn.Module):
             dtype=self.dtype, name="img_neck")
         self.depth_net = CM_DepthNet(
             in_channels=self.img_feat_channels,
+            mid_channels=self.depth_mid_channels,
             context_channels=self.single_bev_num_channels,
             depth_channels=self.depth_channels,
             downsample=self.downsample,

@@ -19,6 +19,10 @@ from fbbev_tpu.models.layers import (
 from fbbev_tpu.registry import BACKBONES
 
 _STAGE_BLOCKS = {
+    # depth 10 = one BasicBlock per stage: the smallest config that still
+    # exercises the full stem/stage/stride structure (used by the
+    # multichip dryrun to keep the single-core XLA:CPU compile small)
+    10: (BasicBlock2D, (1, 1, 1, 1)),
     18: (BasicBlock2D, (2, 2, 2, 2)),
     34: (BasicBlock2D, (3, 4, 6, 3)),
     50: (Bottleneck2D, (3, 4, 6, 3)),

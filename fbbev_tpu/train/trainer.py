@@ -268,6 +268,17 @@ class Trainer:
             _mesh=active_mesh())
         return new_state, new_tstate, metrics
 
+    def train_step_lower(self, state, temporal_state, batch,
+                         do_history: bool = True):
+        """AOT entry: trace + lower the jitted train step (static args
+        bound to the active mesh).  Callers chain ``.compile()`` and call
+        the result -- lets the multichip dryrun time trace/lower, compile,
+        and execute separately."""
+        from fbbev_tpu.parallel import active_mesh
+        return self._train_step.lower(
+            state, temporal_state, batch, do_history=do_history,
+            _mesh=active_mesh())
+
     def eval_step(self, state, temporal_state, batch, use_ema: bool = True):
         from fbbev_tpu.parallel import active_mesh
         return self._eval_step(state, temporal_state, batch, use_ema=use_ema,
