@@ -110,6 +110,45 @@ class CM_DepthNet(nn.Module):
         return context, depth
 
 
+@HEADS.register
+class CM_ContextNet(nn.Module):
+    """Camera-aware context-only head (no depth branch).
+
+    Parity reference: ``depth_net.py:455-500`` — reduce_conv (3x3 ConvBN)
+    -> camera-MLP SE modulation -> 1x1 context conv.  Used by configs that
+    take depth from elsewhere (e.g. a frozen depth net) but still need the
+    camera-conditioned context features.
+    """
+
+    in_channels: int = 512
+    mid_channels: int = 512
+    context_channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mlp_input, train: bool = False):
+        """Args:
+          x: (B, N, H, W, C) image features.
+          mlp_input: (B, N, 27) camera vector.
+
+        Returns:
+          context: (B, N, H, W, context_channels)
+        """
+        B, N, H, W, C = x.shape
+        x = x.reshape(B * N, H, W, C)
+        mlp_input = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="param_bn")(mlp_input.reshape(B * N, -1))
+        x = ConvBN(self.mid_channels, 3, padding=1, dtype=self.dtype,
+                   name="reduce_conv")(x, train)
+        context_se = Mlp(self.mid_channels, self.mid_channels,
+                         name="context_mlp")(mlp_input)
+        context = SELayer(self.mid_channels, name="context_se")(x, context_se)
+        context = nn.Conv(self.context_channels, (1, 1), use_bias=True,
+                          dtype=self.dtype, name="context_conv")(context)
+        return context.reshape(B, N, H, W, self.context_channels)
+
+
 def get_mlp_input(cam) -> jnp.ndarray:
     """27-dim camera vector per (sample, camera).
 

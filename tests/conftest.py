@@ -10,7 +10,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fbbev_xla_cache")
+# cache path keyed by host CPU features so entries written by a
+# different machine (e.g. the remote avx512 compile service) can never
+# be loaded here -- see __graft_entry__._host_cpu_fingerprint
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from __graft_entry__ import _host_cpu_fingerprint  # noqa: E402
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    f"/tmp/fbbev_xla_cache_local_{_host_cpu_fingerprint()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402

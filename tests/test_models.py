@@ -75,6 +75,30 @@ def test_depth_net(rng):
         np.asarray(depth.sum(axis=2)), np.ones((1, 2, 4, 11)), atol=1e-5)
 
 
+def test_context_net_matches_depth_net_context_branch(rng):
+    """CM_ContextNet (ref depth_net.py:455-500) reuses CM_DepthNet's exact
+    context-branch structure; grafting the branch params from an
+    initialized CM_DepthNet must reproduce its context output bit-exact."""
+    from fbbev_tpu.models.depth_net import CM_ContextNet
+
+    dn = CM_DepthNet(in_channels=64, mid_channels=64, context_channels=80,
+                     depth_channels=80)
+    cn = CM_ContextNet(in_channels=64, mid_channels=64, context_channels=80)
+    x = jnp.asarray(rng.randn(1, 2, 4, 11, 64).astype(np.float32))
+    mlp = jnp.asarray(rng.randn(1, 2, 27).astype(np.float32))
+    dn_vars = dn.init(jax.random.PRNGKey(0), x, mlp)
+    branch = ("param_bn", "reduce_conv", "context_mlp", "context_se",
+              "context_conv")
+    cn_vars = {
+        col: {k: tree[k] for k in branch if k in tree}
+        for col, tree in dn_vars.items()
+    }
+    ctx_dn, _ = dn.apply(dn_vars, x, mlp)
+    ctx_cn = cn.apply(cn_vars, x, mlp)
+    assert ctx_cn.shape == (1, 2, 4, 11, 80)
+    np.testing.assert_array_equal(np.asarray(ctx_cn), np.asarray(ctx_dn))
+
+
 def test_backward_projection(rng):
     B, N, C = 1, 2, 80
     m = BackwardProjection(bev_h=20, bev_w=20, embed_dims=C,

@@ -160,3 +160,60 @@ def test_freeze_submodules_pins_params_and_bn_stats():
              for (_, a), (_, b) in zip(flat(state.params["img_neck"]),
                                        flat(s1.params["img_neck"]))]
     assert any(moved)
+
+
+def test_train_step_lower_matches_train_step():
+    """train_step_lower (the AOT path used by the multichip dryrun) must
+    produce the same step as train_step, including for the dryrun's
+    ResNet-10 backbone config (ADVICE r3: the AOT entry and depth=10 had
+    no CPU coverage; a static-arg signature drift vs _train_step would
+    otherwise only surface in the driver)."""
+    rng = np.random.RandomState(0)
+    grid = {"x": (-40.0, 40.0, 8.0), "y": (-40.0, 40.0, 8.0),
+            "z": (-1.0, 5.4, 1.6), "depth": (2.0, 42.0, 4.0)}
+    bf_grid = {"x": (-40.0, 40.0, 8.0), "y": (-40.0, 40.0, 8.0),
+               "z": (-1.0, 5.4, 1.6)}
+    C = 32
+    model = FBOCC(grid_config=grid, bevformer_grid_config=bf_grid,
+                  input_size=(32, 64), num_cams=2, history_cat_num=2,
+                  single_bev_num_channels=C, depth_channels=10,
+                  backbone_depth=10, img_feat_channels=64,
+                  depth_mid_channels=32, max_queries_per_cam=64,
+                  history_cat_conv_out_channels=2 * C,
+                  voxel_channels=(8, 16, 32), voxel_out_channels=16)
+    trainer = Trainer(model)
+    intr = np.diag([200.0, 200.0, 1.0]).astype(np.float32)
+    intr[0, 2], intr[1, 2] = 32.0, 16.0
+    B, N = 1, 2
+    batch = dict(
+        imgs=jnp.asarray(rng.randn(B, N, 32, 64, 3).astype(np.float32)),
+        rots=jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        trans=jnp.zeros((B, N, 3)),
+        intrins=jnp.broadcast_to(jnp.asarray(intr), (B, N, 3, 3)),
+        post_rots=jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+        post_trans=jnp.zeros((B, N, 3)),
+        bda=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        start_of_sequence=jnp.ones((B,), bool),
+        sequence_group_idx=jnp.arange(B, dtype=jnp.int32),
+        curr_to_prev_ego_rt=jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
+        gt_occupancy=jnp.asarray(rng.randint(0, 19, size=(B, 20, 20, 8))),
+        gt_depth=jnp.asarray(
+            (rng.rand(B, N, 32, 64) * 40).astype(np.float32)),
+    )
+    tstate = init_temporal_state(B, (10, 10, 4), 2, C)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, tstate)
+
+    s_ref, t_ref, m_ref = trainer.train_step(state, tstate, batch,
+                                             do_history=True)
+    compiled = trainer.train_step_lower(state, tstate, batch,
+                                        do_history=True).compile()
+    s_aot, t_aot, m_aot = compiled(state, tstate, batch)
+
+    assert np.isfinite(float(m_ref["loss_total"]))
+    np.testing.assert_allclose(float(m_aot["loss_total"]),
+                               float(m_ref["loss_total"]), rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+            jax.tree_util.tree_leaves_with_path(s_aot.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(path))
