@@ -57,6 +57,11 @@ class NuScenesDataset:
         "CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
         "CAM_BACK_LEFT", "CAM_BACK", "CAM_BACK_RIGHT",
     )
+    # nuScenes detection classes, converter order (tools/create_data.py;
+    # ref configs/_base_/datasets/nus-3d.py class_names)
+    CLASSES = ("car", "truck", "construction_vehicle", "bus", "trailer",
+               "barrier", "motorcycle", "bicycle", "pedestrian",
+               "traffic_cone")
 
     def __init__(self, ann_file: str, data_config: Dict,
                  bda_aug_conf: Optional[Dict] = None,
@@ -103,6 +108,23 @@ class NuScenesDataset:
 
     def __len__(self) -> int:
         return len(self.infos)
+
+    def get_cat_ids(self, index: int):
+        """Distinct detection-class ids present in a sample — the CBGS
+        wrapper's input (ref ``nuscenes_dataset.py:200-222``).  bevdetv2
+        infos carry integer labels in ``ann_infos``; converter-era infos
+        carry ``gt_names`` strings — both are handled."""
+        info = self.infos[index]
+        if "ann_infos" in info:
+            labels = np.asarray(info["ann_infos"][1], np.int64).reshape(-1)
+            return sorted({int(c) for c in labels
+                           if 0 <= c < len(self.CLASSES)})
+        names = info.get("gt_names", ())
+        if "valid_flag" in info:
+            mask = np.asarray(info["valid_flag"], bool)
+            names = np.asarray(names)[mask]
+        cat2id = {n: i for i, n in enumerate(self.CLASSES)}
+        return sorted({cat2id[n] for n in set(names) if n in cat2id})
 
     # ------------------------------------------------------------------
     def _temporal_meta(self, index: int) -> Dict[str, np.ndarray]:

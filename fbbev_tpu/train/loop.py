@@ -55,9 +55,9 @@ def build_dataset(cfg: Config, split: str = "train"):
         return SyntheticClipDataset(**{
             k: tuple(v) if isinstance(v, list) else v for k, v in d.items()})
     if kind == "NuScenesDataset":
-        from fbbev_tpu.data import NuScenesDataset
+        from fbbev_tpu.data import CBGSDataset, NuScenesDataset
         is_train = split == "train"
-        return NuScenesDataset(
+        ds = NuScenesDataset(
             ann_file=d["ann_file_train" if is_train else "ann_file_val"],
             data_config=d["data_config"],
             bda_aug_conf=d.get("bda_aug_conf"),
@@ -70,6 +70,11 @@ def build_dataset(cfg: Config, split: str = "train"):
             load_depth=is_train,
             cam_names=d.get("cam_names"),
         )
+        # class-balanced resampling (reference wraps the train split in
+        # CBGSDataset when the config asks for it, datasets/builder.py:49)
+        if is_train and d.get("cbgs", False):
+            ds = CBGSDataset(ds, seed=int(d.get("cbgs_seed", 0)))
+        return ds
     raise KeyError(kind)
 
 

@@ -264,3 +264,95 @@ def test_prefetch_loader_propagates_errors():
 
     with np.testing.assert_raises(RuntimeError):
         list(PrefetchLoader(Boom(), iter([[0]]), num_workers=2))
+
+
+class _FakeDetDataset:
+    """Minimal dataset exposing the CBGS contract (get_cat_ids + flag)."""
+
+    CLASSES = ("car", "truck", "pedestrian")
+
+    def __init__(self, cat_ids_per_sample):
+        self._cats = cat_ids_per_sample
+        self.flag = np.arange(len(cat_ids_per_sample), dtype=np.int64) // 2
+
+    def get_cat_ids(self, idx):
+        return self._cats[idx]
+
+    def __getitem__(self, idx):
+        return {"index": np.int32(idx)}
+
+    def __len__(self):
+        return len(self._cats)
+
+
+def test_cbgs_resampling_matches_reference_formula():
+    """CBGSDataset draws int(len(I_c) * (1/K)/p_c) samples per class from
+    that class's index list (dataset_wrappers.py:30-62), remaps flag, and
+    is deterministic for a fixed seed."""
+    from fbbev_tpu.data import CBGSDataset
+
+    # class 0 appears in 6 samples, class 1 in 2, class 2 in 2 -> the
+    # rare classes get oversampled toward equal expected share
+    cats = [[0], [0], [0], [0], [0], [0, 1], [1], [2], [2, 0], [2]]
+    base = _FakeDetDataset(cats)
+    ds = CBGSDataset(base, seed=0)
+
+    class_inds = {c: [i for i, cs in enumerate(cats) if c in cs]
+                  for c in range(3)}
+    dup = sum(len(v) for v in class_inds.values())
+    # NOTE reference op order (dataset_wrappers.py:54-59): ratio is
+    # computed FIRST (frac / class_distribution) and then multiplied by
+    # len -- the float association changes int() truncation.
+    expected_counts = {
+        c: int(len(v) * ((1.0 / 3) / (len(v) / dup)))
+        for c, v in class_inds.items()
+    }
+    assert len(ds) == sum(expected_counts.values())
+
+    # every resampled index must come from some class list; per-class
+    # draw counts are contiguous blocks in reference order
+    pos = 0
+    for c in range(3):
+        block = ds.sample_indices[pos:pos + expected_counts[c]]
+        assert set(block) <= set(class_inds[c])
+        pos += expected_counts[c]
+
+    # flag remap + delegation
+    np.testing.assert_array_equal(
+        ds.flag, base.flag[np.asarray(ds.sample_indices)])
+    i0 = ds.sample_indices[0]
+    assert int(ds[0]["index"]) == i0
+    assert ds.get_cat_ids(0) == cats[i0]
+
+    # determinism
+    ds2 = CBGSDataset(base, seed=0)
+    assert ds2.sample_indices == ds.sample_indices
+    ds3 = CBGSDataset(base, seed=1)
+    assert ds3.sample_indices != ds.sample_indices
+
+
+def test_repeat_dataset_wrapper():
+    from fbbev_tpu.data import RepeatDataset
+
+    base = _FakeDetDataset([[0], [1], [2]])
+    ds = RepeatDataset(base, times=3)
+    assert len(ds) == 9
+    assert int(ds[4]["index"]) == 1
+    assert ds.get_cat_ids(5) == [2]
+    np.testing.assert_array_equal(ds.flag, np.tile(base.flag, 3))
+
+
+def test_nuscenes_get_cat_ids_from_ann_infos():
+    """get_cat_ids over bevdetv2-style infos: distinct in-range labels."""
+    from fbbev_tpu.data import NuScenesDataset
+
+    ds = NuScenesDataset.__new__(NuScenesDataset)  # skip file IO
+    ds.infos = [
+        dict(ann_infos=(np.zeros((4, 9)), np.array([0, 0, 3, 9]))),
+        dict(ann_infos=(np.zeros((2, 9)), np.array([-1, 23]))),
+        dict(gt_names=np.array(["car", "truck", "car", "unknown_thing"]),
+             valid_flag=np.array([True, True, False, True])),
+    ]
+    assert ds.get_cat_ids(0) == [0, 3, 9]
+    assert ds.get_cat_ids(1) == []
+    assert ds.get_cat_ids(2) == [0, 1]
