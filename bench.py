@@ -119,7 +119,8 @@ def main():
         def serve_stream(variables, frames, state):
             def body(st, fr):
                 pred, st = pipe._infer_impl(
-                    variables, fr["imgs"], fr["meta"], st, pipe.ranks_bev)
+                    variables, fr["imgs"], fr["meta"], st, pipe.ranks_bev,
+                    pipe.bwd_terms, pipe.mlp_input)
                 return st, jnp.sum(pred)
             st, sums = jax.lax.scan(body, state, frames)
             return sums, st

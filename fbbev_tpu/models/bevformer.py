@@ -243,6 +243,64 @@ class DepthAwareDeformableAttention(nn.Module):
         return out  # no output_proj here (it lives in the outer SCA)
 
 
+def spatial_ca_static_terms(ref_cam, per_cam_mask, query_depth,
+                            dbound, num_depth_bins: int,
+                            max_queries_per_cam):
+    """Rig-static tensors of the spatial cross attention.
+
+    Everything here depends only on camera calibration + grid config —
+    per-frame recomputation is pure waste on a fixed rig, so the serving
+    path hoists this whole dict out of the jitted graph exactly like the
+    reference's deploy re-plumbing hoists reference points / bev masks /
+    rebatch indices out of the ONNX graph (``fbocc_trt.py:42-76``).
+    Training/eval graphs build the same dict in-graph (XLA still CSEs the
+    pieces), so both paths share one formulation.
+
+    Args:
+      ref_cam: (B, N, Q, Z, 2) normalised image coords per z-anchor.
+      per_cam_mask: (B, N, Q, Z) bool visibility.
+      query_depth: (B, N, Q, Z) metric depth of each anchor.
+      dbound: (lo, hi, step) depth bin config; num_depth_bins: DC.
+      max_queries_per_cam: static rebatch K or None (dense).
+
+    Returns a dict:
+      query_valid (B, N, Q); count (B, Q);
+      dense path: ref_cam, depth_onehot (B, N, Q, Z, DC);
+      rebatch path: idx (B, N, K), sel_valid, ref_k (B, N, K, Z, 2),
+        oh_k (B, N, K, Z, DC).
+    """
+    B, N, Q, Z, _ = ref_cam.shape
+    DC = num_depth_bins
+    lo, _hi, step = dbound
+    query_valid = jnp.any(per_cam_mask, axis=-1)  # (B, N, Q)
+    count = jnp.maximum(
+        jnp.sum(query_valid.astype(jnp.float32), axis=1), 1.0)  # (B, Q)
+    terms = dict(query_valid=query_valid, count=count)
+
+    def _onehot(qd):
+        dbin = jnp.clip(jnp.floor((qd - lo) / step), 0, DC - 1)
+        return jax.nn.one_hot(dbin.astype(jnp.int32), DC)
+
+    K = max_queries_per_cam
+    if K is None or K >= Q:
+        terms["ref_cam"] = ref_cam
+        terms["depth_onehot"] = _onehot(query_depth)
+    else:
+        # compact visible query ids to the front (stable), pad to K —
+        # the TRT-export rebatch with a compile-time max_len
+        order = jnp.argsort(~query_valid, axis=-1, stable=True)
+        idx = order[..., :K]  # (B, N, K)
+        terms["idx"] = idx
+        terms["sel_valid"] = jnp.take_along_axis(query_valid, idx, axis=-1)
+        terms["ref_k"] = jnp.take_along_axis(
+            ref_cam, idx[..., None, None], axis=2)
+        # one-hot AFTER the gather: one_hot(gather(x)) == gather(one_hot(x))
+        # but over K instead of Q rows
+        terms["oh_k"] = _onehot(jnp.take_along_axis(
+            query_depth, idx[..., None], axis=2))
+    return terms
+
+
 class DepthAwareSpatialCrossAttention(nn.Module):
     """Per-camera BEV->image cross attention.
 
@@ -269,15 +327,19 @@ class DepthAwareSpatialCrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, query_pos, cam_feats, ref_cam, per_cam_mask,
-                 query_depth, pred_depth, train: bool = False):
+                 query_depth, pred_depth, train: bool = False,
+                 static_terms=None):
         """Args:
           query: (B, Q, C) BEV queries.
           query_pos: (B, Q, C).
           cam_feats: (B, N, Hf, Wf, C).
-          ref_cam: (B, N, Q, Z, 2) normalised image coords.
-          per_cam_mask: (B, N, Q, Z) bool visibility.
-          query_depth: (B, N, Q, Z) metric depth of each anchor in cam frame.
+          ref_cam: (B, N, Q, Z, 2) normalised image coords (may be None
+            when ``static_terms`` is given).
+          per_cam_mask: (B, N, Q, Z) bool visibility (idem).
+          query_depth: (B, N, Q, Z) metric anchor depth in cam frame (idem).
           pred_depth: (B, N, DC, Hf, Wf) predicted depth distribution.
+          static_terms: precomputed :func:`spatial_ca_static_terms` dict
+            (rig-static serving hoist); None = build in-graph.
 
         Returns: (B, Q, C).
         """
@@ -287,17 +349,19 @@ class DepthAwareSpatialCrossAttention(nn.Module):
         DC = pred_depth.shape[2]
         Z = self.num_z_anchors
 
+        if static_terms is None:
+            static_terms = spatial_ca_static_terms(
+                ref_cam, per_cam_mask, query_depth, self.dbound, DC,
+                self.max_queries_per_cam)
+        t = static_terms
+
         inp_residual = query
         q = query + query_pos
-
-        lo, _hi, step = self.dbound
-        dbin = jnp.clip(jnp.floor((query_depth - lo) / step), 0, DC - 1)
-        onehot = jax.nn.one_hot(dbin.astype(jnp.int32), DC)
 
         value = cam_feats.reshape(B * N, Hf * Wf, C)
         pd = jnp.transpose(
             pred_depth.reshape(B * N, DC, Hf * Wf), (0, 2, 1))
-        query_valid = jnp.any(per_cam_mask, axis=-1)  # (B, N, Q)
+        query_valid = t["query_valid"]  # (B, N, Q)
 
         attention = DepthAwareDeformableAttention(
             embed_dims=self.embed_dims, num_points=self.num_points,
@@ -308,27 +372,21 @@ class DepthAwareSpatialCrossAttention(nn.Module):
         if K is None or K >= Q:
             qd = jnp.broadcast_to(q[:, None], (B, N, Q, C)).reshape(
                 B * N, Q, C)
-            ref = ref_cam.reshape(B * N, Q, Z, 2)
-            oh = onehot.reshape(B * N, Q, Z, DC)
+            ref = t["ref_cam"].reshape(B * N, Q, Z, 2)
+            oh = t["depth_onehot"].reshape(B * N, Q, Z, DC)
             out = attention(qd, value, ref, (Hf, Wf), oh, pd, train)
             out = out.reshape(B, N, Q, C)
             slots = jnp.sum(out * query_valid[..., None], axis=1)
             from fbbev_tpu.parallel import pshard
             slots = pshard(slots)
         else:
-            # compact visible query ids to the front (stable), pad to K
-            order = jnp.argsort(~query_valid, axis=-1, stable=True)
-            idx = order[..., :K]  # (B, N, K)
-            sel_valid = jnp.take_along_axis(query_valid, idx, axis=-1)
+            idx = t["idx"]  # (B, N, K) visible-compacted query ids
+            sel_valid = t["sel_valid"]
             qd = jnp.take_along_axis(
                 jnp.broadcast_to(q[:, None], (B, N, Q, C)),
                 idx[..., None], axis=2).reshape(B * N, K, C)
-            ref = jnp.take_along_axis(
-                ref_cam, idx[..., None, None], axis=2).reshape(
-                B * N, K, Z, 2)
-            oh = jnp.take_along_axis(
-                onehot, idx[..., None, None], axis=2).reshape(
-                B * N, K, Z, DC)
+            ref = t["ref_k"].reshape(B * N, K, Z, 2)
+            oh = t["oh_k"].reshape(B * N, K, Z, DC)
             out = attention(qd, value, ref, (Hf, Wf), oh, pd, train)
             out = out.reshape(B, N, K, C) * sel_valid[..., None]
             # scatter-add back to the full query set
@@ -344,8 +402,7 @@ class DepthAwareSpatialCrossAttention(nn.Module):
             self.sow("intermediates", "rebatch_overflow",
                      jnp.sum(jnp.sum(query_valid, -1) > K))
 
-        count = jnp.maximum(jnp.sum(query_valid, axis=1), 1.0)
-        slots = slots / count[..., None]
+        slots = slots / t["count"][..., None]
 
         slots = nn.Dense(C, dtype=self.dtype, name="output_proj")(slots)
         return slots + inp_residual
@@ -388,7 +445,7 @@ class BEVFormerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, query, bev_pos, ref_2d, bev_hw, cam_feats, ref_cam,
                  per_cam_mask, query_depth, pred_depth,
-                 train: bool = False):
+                 train: bool = False, static_terms=None):
         n_norm = 0
         for op in self.operation_order:
             if op == "self_attn":
@@ -403,7 +460,8 @@ class BEVFormerEncoderLayer(nn.Module):
                     max_queries_per_cam=self.max_queries_per_cam,
                     dtype=self.dtype, remat=self.remat, name="cross_attn",
                 )(query, bev_pos, cam_feats, ref_cam, per_cam_mask,
-                  query_depth, pred_depth, train)
+                  query_depth, pred_depth, train,
+                  static_terms=static_terms)
             elif op == "norm":
                 n_norm += 1
                 query = nn.LayerNorm(epsilon=1e-5,
@@ -437,28 +495,21 @@ class BackwardProjection(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
-    @nn.compact
-    def __call__(self, cam_feats, lss_bev, cam: geometry.CamParams,
-                 pred_depth, train: bool = False):
-        """Args:
-          cam_feats: (B, N, Hf, Wf, C) image features (single level).
-          lss_bev: (B, H, W, C) z-collapsed LSS BEV (query seed).
-          cam: camera parameters.
-          pred_depth: (B, N, DC, Hf, Wf).
-
-        Returns: (B, H, W, C) refined BEV.
-        """
-        B, N = cam_feats.shape[:2]
-        H, W, C = self.bev_h, self.bev_w, self.embed_dims
-        Q = H * W
-
-        gc = self.grid_config or {
+    def _grid_cfg(self):
+        return self.grid_config or {
             "x": (self.pc_range[0], self.pc_range[3],
                   (self.pc_range[3] - self.pc_range[0]) / self.bev_w),
             "y": (self.pc_range[1], self.pc_range[4],
                   (self.pc_range[4] - self.pc_range[1]) / self.bev_h),
             "z": (self.pc_range[2], self.pc_range[5], 1.6),
         }
+
+    def _projected_anchors(self, cam: geometry.CamParams):
+        """(ref_cam, per_cam_mask, query_depth) of the BEV anchor grid in
+        every camera — pure camera-calibration geometry."""
+        H, W = self.bev_h, self.bev_w
+        Q = H * W
+        gc = self._grid_cfg()
         ref3d = geometry.bev_reference_points_3d(
             tuple(gc["x"]), tuple(gc["y"]), tuple(gc["z"]))
         assert ref3d.shape[:2] == (H, W), (
@@ -467,9 +518,45 @@ class BackwardProjection(nn.Module):
         ref3d_flat = jnp.asarray(ref3d.reshape(Q * Z, 3))
         uv, mask, depth = geometry.ego_to_cam_pixels(
             ref3d_flat, cam, self.input_size)
-        ref_cam = uv.reshape(B, N, Q, Z, 2)
-        per_cam_mask = mask.reshape(B, N, Q, Z)
-        query_depth = depth.reshape(B, N, Q, Z)
+        B, N = uv.shape[:2]
+        return (uv.reshape(B, N, Q, Z, 2), mask.reshape(B, N, Q, Z),
+                depth.reshape(B, N, Q, Z))
+
+    def static_terms(self, cam: geometry.CamParams,
+                     num_depth_bins: int = None):
+        """Precompute every rig-static tensor of this head for a fixed
+        calibrated rig (the serving-path hoist; cf. ``fbocc_trt.py:42-76``).
+        Plain method — safe to call on an unbound module."""
+        if num_depth_bins is None:
+            lo, hi, step = self.dbound
+            num_depth_bins = int(round((hi - lo) / step))
+        ref_cam, per_cam_mask, query_depth = self._projected_anchors(cam)
+        return spatial_ca_static_terms(
+            ref_cam, per_cam_mask, query_depth, self.dbound,
+            num_depth_bins, self.max_queries_per_cam)
+
+    @nn.compact
+    def __call__(self, cam_feats, lss_bev, cam: geometry.CamParams,
+                 pred_depth, train: bool = False, static_terms=None):
+        """Args:
+          cam_feats: (B, N, Hf, Wf, C) image features (single level).
+          lss_bev: (B, H, W, C) z-collapsed LSS BEV (query seed).
+          cam: camera parameters (may be None when ``static_terms`` given).
+          pred_depth: (B, N, DC, Hf, Wf).
+          static_terms: precomputed :meth:`static_terms` dict (rig-static
+            serving hoist); None = compute the geometry in-graph.
+
+        Returns: (B, H, W, C) refined BEV.
+        """
+        B, N = cam_feats.shape[:2]
+        H, W, C = self.bev_h, self.bev_w, self.embed_dims
+        Q = H * W
+
+        if static_terms is None:
+            ref_cam, per_cam_mask, query_depth = self._projected_anchors(
+                cam)
+        else:
+            ref_cam = per_cam_mask = query_depth = None
 
         ref_2d = jnp.asarray(geometry.bev_reference_points_2d(H, W))
         ref_2d = jnp.broadcast_to(ref_2d[None], (B, Q, 2))
@@ -491,6 +578,7 @@ class BackwardProjection(nn.Module):
                 dtype=self.dtype, remat=self.remat,
                 name=f"layer{i}",
             )(query, bev_pos, ref_2d, (H, W), cam_feats, ref_cam,
-              per_cam_mask, query_depth, pred_depth, train)
+              per_cam_mask, query_depth, pred_depth, train,
+              static_terms=static_terms)
 
         return query.reshape(B, H, W, C)

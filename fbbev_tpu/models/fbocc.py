@@ -96,6 +96,32 @@ DEFAULT_BEVFORMER_GRID = {
 }
 
 
+def make_backward_projection(model: "FBOCC") -> BackwardProjection:
+    """BackwardProjection head for an FBOCC config.
+
+    A module-level function (NOT a method): flax registers modules
+    constructed inside module *methods* as children of the enclosing
+    module, which fails on unbound instances — and serving needs to build
+    this outside apply() to precompute the rig-static terms
+    (:meth:`BackwardProjection.static_terms`).  ``setup`` uses it too so
+    there is exactly one construction site.
+    """
+    gc = model.grid_config or DEFAULT_GRID_CONFIG
+    fp = model.make_forward_projection()
+    return BackwardProjection(
+        bev_h=int(fp.nx[1]),
+        bev_w=int(fp.nx[0]),
+        embed_dims=model.single_bev_num_channels,
+        feedforward_channels=model.single_bev_num_channels * 4,
+        pos_num_feats=model.single_bev_num_channels // 2,
+        pc_range=model.pc_range,
+        grid_config=model.bevformer_grid_config or DEFAULT_BEVFORMER_GRID,
+        input_size=model.input_size,
+        dbound=tuple(gc["depth"]),
+        max_queries_per_cam=model.max_queries_per_cam,
+        dtype=model.dtype, remat=model.remat)
+
+
 @DETECTORS.register
 class FBOCC(nn.Module):
     """Flagship FB-OCC model (R50, 16-frame, occupancy head)."""
@@ -196,20 +222,8 @@ class FBOCC(nn.Module):
             dtype=self.dtype, name="depth_net")
         self.forward_projection = self.make_forward_projection()
         if self.use_backward_projection:
-            self.backward_projection = BackwardProjection(
-                bev_h=int(self.forward_projection.nx[1]),
-                bev_w=int(self.forward_projection.nx[0]),
-                embed_dims=self.single_bev_num_channels,
-                feedforward_channels=self.single_bev_num_channels * 4,
-                pos_num_feats=self.single_bev_num_channels // 2,
-                pc_range=self.pc_range,
-                grid_config=self.bevformer_grid_config
-                or DEFAULT_BEVFORMER_GRID,
-                input_size=self.input_size,
-                dbound=tuple(gc["depth"]),
-                max_queries_per_cam=self.max_queries_per_cam,
-                dtype=self.dtype, remat=self.remat,
-                name="backward_projection")
+            # auto-named by the attribute -> same param tree as before
+            self.backward_projection = make_backward_projection(self)
         # NOTE: no remat on the 3D encoder -- nn.remat x bf16 x the z-slab
         # conv decomposition crashes the v5e worker at execution on
         # 100x100x8 grids (standalone bisect matrix, docs/ROUND2.md:

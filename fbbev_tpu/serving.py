@@ -36,6 +36,21 @@ class FixedRigPipeline:
         B = int(cam.trans.shape[0])
         self.batch = B
 
+        # rig-static backward-projection precompute (the reference's deploy
+        # graph hoists reference points / bev masks / rebatch indices the
+        # same way, fbocc_trt.py:42-76): computed ONCE here, passed to the
+        # jitted step as device inputs instead of being rebuilt every frame
+        self.bwd_terms = None
+        if model.use_backward_projection:
+            from fbbev_tpu.models.fbocc import make_backward_projection
+            self.bwd_terms = jax.tree.map(
+                jnp.asarray,
+                make_backward_projection(model).static_terms(
+                    self.cam, num_depth_bins=model.depth_channels))
+        # camera MLP vector is rig-static too (depth_net.py:369-393)
+        from fbbev_tpu.models import depth_net as dn
+        self.mlp_input = jnp.asarray(dn.get_mlp_input(self.cam))
+
         self.ranks_bev = None
         self.pool_plan = None
         if use_host_ranks:
@@ -70,15 +85,13 @@ class FixedRigPipeline:
 
     # ------------------------------------------------------------------
     def _infer_impl(self, variables, imgs, meta, state: TemporalState,
-                    ranks_bev):
+                    ranks_bev, bwd_terms, mlp_input):
         model = self.model
         cam = self.cam
 
         def fwd(mdl):
             feats = mdl.image_encoder(imgs, False)
-            from fbbev_tpu.models import depth_net as dn
-            context, depth = mdl.depth_net(feats, dn.get_mlp_input(cam),
-                                           False)
+            context, depth = mdl.depth_net(feats, mlp_input, False)
             if self.pool_plan is not None:
                 import os
                 from fbbev_tpu.ops.pallas_pool import lss_voxel_pool_planned
@@ -97,7 +110,8 @@ class FixedRigPipeline:
             if mdl.use_backward_projection:
                 lss_bev = jnp.mean(bev, axis=3)
                 refined = mdl.backward_projection(
-                    context, lss_bev.astype(mdl.dtype), cam, depth, False)
+                    context, lss_bev.astype(mdl.dtype), cam, depth, False,
+                    static_terms=bwd_terms)
                 bev = refined.astype(jnp.float32)[:, :, :, None, :] + bev
             fused, new_state, _ = mdl.fuse_history(
                 bev, state, meta, cam.bda, True, False)
@@ -123,7 +137,7 @@ class FixedRigPipeline:
         )
         pred, self.state = self._infer(
             self.variables, jnp.asarray(imgs), meta, self.state,
-            self.ranks_bev)
+            self.ranks_bev, self.bwd_terms, self.mlp_input)
         return pred
 
     def benchmark(self, iters: int = 20,

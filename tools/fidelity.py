@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""End-to-end numeric-fidelity harness: f32 vs the benched serving config.
+
+Measures what the bf16 + folded-BN configuration actually costs in output
+agreement, the way the reference priced its deployment precision choices
+(fp16 TRT row, ``/root/reference/deployment/README.md``; ``force_fp32``
+islands at ``fbocc.py:155,207`` / ``occupancy_head.py:145``).  Runs the
+SAME parameters through:
+
+  A. f32 compute, live BatchNorm buffers (the training/eval numerics)
+  B. the serving config: ``--dtype`` compute (default bf16) + folded BN
+
+over a short synthetic temporal stream, then reports per-frame:
+
+  * occupancy argmax agreement (% of voxels where argmax matches)
+  * top-1 logit max-abs / rms error
+  * per-stage max-abs error ledger (depth, context, bev_refined)
+
+Usage:
+  python tools/fidelity.py                 # flagship shape on the TPU
+  python tools/fidelity.py --small --cpu   # tiny shape, CPU (CI smoke)
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def build(size, dtype_name):
+    import jax.numpy as jnp
+
+    from fbbev_tpu.models import FBOCC
+
+    dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[dtype_name]
+    if size == "small":
+        grid = {"x": (-40.0, 40.0, 4.0), "y": (-40.0, 40.0, 4.0),
+                "z": (-1.0, 5.4, 0.8), "depth": (2.0, 42.0, 2.0)}
+        bf = {"x": (-40.0, 40.0, 4.0), "y": (-40.0, 40.0, 4.0),
+              "z": (-1.0, 5.4, 1.6)}
+        return FBOCC(grid_config=grid, bevformer_grid_config=bf,
+                     input_size=(64, 176), num_cams=2, history_cat_num=4,
+                     single_bev_num_channels=32, depth_channels=20,
+                     backbone_depth=18, img_feat_channels=64,
+                     depth_mid_channels=64, max_queries_per_cam=256,
+                     history_cat_conv_out_channels=64,
+                     voxel_channels=(32, 64, 128), voxel_out_channels=32,
+                     dtype=dtype), (100 // 5, 100 // 5, 8)
+    return FBOCC(dtype=dtype), (100, 100, 8)
+
+
+def make_stream(rng, B, N, H, W, frames):
+    import jax.numpy as jnp
+
+    from fbbev_tpu import geometry
+
+    intr = np.diag([0.8 * W, 0.8 * W, 1.0]).astype(np.float32)
+    intr[0, 2], intr[1, 2] = W / 2.0, H / 2.0
+    angles = np.linspace(0, 2 * np.pi, N, endpoint=False)
+    rots = np.stack([geometry.rot_z(a) for a in angles])[None]
+    out = []
+    for i in range(frames):
+        r = np.random.RandomState(100 + i)
+        c2p = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        if i > 0:
+            c2p[:, :3, 3] = r.randn(B, 3) * 0.3
+        out.append(dict(
+            imgs=jnp.asarray(r.randn(B, N, H, W, 3).astype(np.float32)),
+            rots=jnp.asarray(np.broadcast_to(rots, (B, N, 3, 3))
+                             .astype(np.float32)),
+            trans=jnp.zeros((B, N, 3)),
+            intrins=jnp.broadcast_to(jnp.asarray(intr), (B, N, 3, 3)),
+            post_rots=jnp.broadcast_to(jnp.eye(3), (B, N, 3, 3)),
+            post_trans=jnp.zeros((B, N, 3)),
+            bda=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+            start_of_sequence=jnp.full((B,), i == 0, bool),
+            sequence_group_idx=jnp.zeros((B,), jnp.int32),
+            curr_to_prev_ego_rt=jnp.asarray(c2p),
+        ))
+    return out
+
+
+def run_stream(model, variables, stream, grid, channels, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from fbbev_tpu.models.fbocc import init_temporal_state
+
+    state = init_temporal_state(
+        int(stream[0]["imgs"].shape[0]), grid, model.history_cat_num,
+        channels, dtype=dtype)
+
+    @jax.jit
+    def step(variables, batch, state):
+        outputs, state = model.apply(variables, batch, state, train=False)
+        return outputs, state
+
+    outs = []
+    for b in stream:
+        o, state = step(variables, b, state)
+        outs.append({k: np.asarray(o[k], np.float32) for k in
+                     ("depth", "context", "bev_refined", "occ_logits")
+                     if k in o})
+    return outs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="serving compute dtype to price vs float32")
+    ap.add_argument("--no-fold-bn", action="store_true")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from fbbev_tpu.utils.fuse_bn import fold_batch_norms
+
+    size = "small" if args.small else "flagship"
+    model_a, grid = build(size, "float32")
+    model_b, _ = build(size, args.dtype)
+    H, W = model_a.input_size
+    N = model_a.num_cams
+    C = model_a.single_bev_num_channels
+
+    rng = np.random.RandomState(0)
+    stream = make_stream(rng, 1, N, H, W, args.frames)
+
+    variables = jax.jit(model_a.init)(
+        jax.random.PRNGKey(0), stream[0],
+        __import__("fbbev_tpu.models.fbocc", fromlist=["x"])
+        .init_temporal_state(1, grid, model_a.history_cat_num, C))
+
+    outs_a = run_stream(model_a, variables, stream, grid, C, jnp.float32)
+
+    vb = variables if args.no_fold_bn else jax.tree.map(
+        jnp.asarray, fold_batch_norms(variables))
+    dt_b = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[args.dtype]
+    outs_b = run_stream(model_b, vb, stream, grid, C, dt_b)
+
+    report = {"size": size, "dtype": args.dtype,
+              "fold_bn": not args.no_fold_bn, "frames": []}
+    for i, (a, b) in enumerate(zip(outs_a, outs_b)):
+        fr = {"frame": i}
+        la, lb = a["occ_logits"], b["occ_logits"]
+        pa, pb = la.argmax(-1), lb.argmax(-1)
+        fr["occ_argmax_agreement_pct"] = round(
+            100.0 * float((pa == pb).mean()), 3)
+        top_a = np.take_along_axis(la, pa[..., None], -1)
+        top_b = np.take_along_axis(lb, pa[..., None], -1)
+        fr["top1_logit_max_abs"] = round(
+            float(np.abs(top_a - top_b).max()), 4)
+        fr["top1_logit_rms"] = round(
+            float(np.sqrt(((top_a - top_b) ** 2).mean())), 5)
+        for k in ("depth", "context", "bev_refined"):
+            if k in a:
+                err = np.abs(a[k] - b[k])
+                ref = np.abs(a[k]).max() + 1e-9
+                fr[f"{k}_max_abs"] = round(float(err.max()), 4)
+                fr[f"{k}_max_rel_to_peak"] = round(
+                    float(err.max() / ref), 5)
+        report["frames"].append(fr)
+        print(json.dumps(fr))
+    agree = [f["occ_argmax_agreement_pct"] for f in report["frames"]]
+    report["min_agreement_pct"] = min(agree)
+    print(json.dumps({"min_agreement_pct": report["min_agreement_pct"],
+                      "size": size, "dtype": args.dtype,
+                      "fold_bn": report["fold_bn"]}))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -145,7 +145,8 @@ def main():
 
         @jax.jit
         def fn(v, im, m, st):
-            return pipe._infer_impl(v, im, m, st, pipe.ranks_bev)
+            return pipe._infer_impl(v, im, m, st, pipe.ranks_bev,
+                                    pipe.bwd_terms, pipe.mlp_input)
         fargs = (variables, batch["imgs"], meta, pipe.state)
     else:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
