@@ -56,14 +56,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 10
-# in the z-major (B, Z, Y, X, TC) layout both y and x are non-minor HBM
-# dims (z and channels are copied whole per block), so slab origins are
-# unconstrained -- no alignment tax on either axis
+# Mosaic tiles the LAST TWO memref dims (8, 128) (+ (2, 1) bf16 packing):
+# dynamic slices of the (B, Z, Y, X, TC) history must start at X multiples
+# of 8 (and Y multiples of 2) -- "Failed to prove that a tile index in
+# dimension 3 is divisible by the tiling (8)" otherwise (first on-chip
+# compile, round-4 A/B).  The X slab is 24 wide so an 8-aligned origin
+# still guarantees the +-8 source margin; X itself is zero-padded to a
+# multiple of 8 before the call so edge tiles keep full coverage.
 SLAB_Y = 16
-SLAB_X = 16
+SLAB_X = 24
 ZBAND = 3
-# double-buffered slab VMEM budget (the core has ~16 MB total)
-_SLAB_BUDGET = 6 * 1024 * 1024
+# double-buffered slab VMEM budget (the core has ~16 MB total; the out
+# blocks + curr block add ~2.5 MB on top)
+_SLAB_BUDGET = 8 * 1024 * 1024
 
 
 def _channel_block(TC: int, C: int, itemsize: int, Z: int):
@@ -98,10 +103,13 @@ def _slab_origin(mat_ref, b, i, j, *, D, H, W):
     cz = (D - 1) * 0.5
     sx_c = m00 * cx + m01 * cy + m02 * cz + m03
     sy_c = m10 * cx + m11 * cy + m13 + m12 * cz
-    oy = jnp.clip(jnp.floor(sy_c).astype(jnp.int32) - SLAB_Y // 2 + 1,
-                  0, H - SLAB_Y)
-    ox = jnp.clip(jnp.floor(sx_c).astype(jnp.int32) - SLAB_X // 2 + 1,
-                  0, W - SLAB_X)
+    # aligned origins (see tiling note at top): align-down costs at most
+    # 1 (y) / 7 (x) of margin, absorbed by the slab sizes -- guaranteed
+    # coverage stays >= +-7 (y) / +-8 (x) around the warped tile centre
+    oy = jnp.clip(jnp.floor(sy_c).astype(jnp.int32) - 7, 0, H - SLAB_Y)
+    oy = (oy // 2) * 2
+    ox = jnp.clip(jnp.floor(sx_c).astype(jnp.int32) - 8, 0, W - SLAB_X)
+    ox = (ox // 8) * 8
     return oy, ox
 
 
@@ -257,6 +265,13 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
     Ht, Wt = Y // TILE, X // TILE
     CB = _channel_block(TC, C, hist.dtype.itemsize, Z)
     NCB = TC // CB
+    # X-pad the history to a multiple of 8 so every (aligned) slab origin
+    # up to Xp - SLAB_X keeps full right-edge coverage (tiling note above);
+    # the pad zeros only enter tent weights for out-of-grid sources, which
+    # the warp semantics already treat as zero
+    Xp = -(-X // 8) * 8
+    if Xp != X:
+        hist = jnp.pad(hist, ((0, 0), (0, 0), (0, 0), (0, Xp - X), (0, 0)))
     mrows = mat[:, :3, :].reshape(B, 12).astype(jnp.float32)
     start_f = start.astype(jnp.float32)
     hsel_i = hsel.astype(jnp.int32)
@@ -267,7 +282,7 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
     newh_shape = jax.ShapeDtypeStruct(
         (B, Z, Ht, TILE, Wt, TILE, TC), hist.dtype)
 
-    kernel = functools.partial(_kernel, D=Z, H=Y, W=X, C=C, CB=CB,
+    kernel = functools.partial(_kernel, D=Z, H=Y, W=Xp, C=C, CB=CB,
                                NCB=NCB, Ht=Ht, Wt=Wt, NB=B)
     slab_bytes = Z * SLAB_Y * SLAB_X * CB * hist.dtype.itemsize
     slots, newh = pl.pallas_call(
@@ -320,8 +335,9 @@ def supports(hist_shape, C: int = 80, itemsize: int = 2) -> bool:
     at the given element size (pass the COMPUTE dtype's itemsize -- the
     kernel runs on the history cast to the model dtype)."""
     _, Z, Y, X, TC = hist_shape
+    Xp = -(-X // 8) * 8  # fuse_warp pads X to this
     if not (Y % TILE == 0 and X % TILE == 0
-            and Y >= SLAB_Y and X >= SLAB_X and Z >= ZBAND):
+            and Y >= SLAB_Y and Xp >= SLAB_X and Z >= ZBAND):
         return False
     if TC % C:
         return False
