@@ -100,7 +100,19 @@ def main():
     # exactly like the per-frame-dispatch version of this bench)
     staged = [make_batch(i + 1, False) for i in range(4)]
     import os
-    if os.environ.get("FBBEV_BENCH_SERVING") == "1":
+    # Default mode: "serving" -- the FixedRigPipeline deploy graph through
+    # a 16-frame streaming scan, the apples-to-apples analogue of the
+    # reference's TensorRT-engine benchmark (deployment/README.md).
+    # Round-4 on-chip A/B (docs/ROUND4.md): frame-dispatch 18.29 fps,
+    # stream 22.36, serving 26.68 (Pallas pool + fused warp, defaults).
+    # Override with FBBEV_BENCH_MODE=frame|stream|serving (legacy
+    # FBBEV_BENCH_STREAM/FBBEV_BENCH_SERVING=1 still respected).
+    mode = os.environ.get("FBBEV_BENCH_MODE", "serving")
+    if os.environ.get("FBBEV_BENCH_STREAM") == "1":
+        mode = "stream"
+    elif os.environ.get("FBBEV_BENCH_SERVING") == "1":
+        mode = "serving"
+    if mode == "serving":
         # Deploy-path benchmark: the FixedRigPipeline (host-precomputed
         # voxel ranks, optional Pallas pool) driven through a streaming
         # scan -- the TPU analogue of the reference's TensorRT-engine
@@ -143,10 +155,9 @@ def main():
             sums, sstate = serve_stream(variables, frames, sstate)
         np.asarray(sums)
         dt = (time.perf_counter() - t0) / (rounds * CHUNK)
-    elif os.environ.get("FBBEV_BENCH_STREAM") == "1":
-        # streaming scan pipeline (opt-in until its on-chip validation
-        # lands -- the first attempt was blocked by a wedged chip lease,
-        # docs/ROUND3.md)
+    elif mode == "stream":
+        # streaming scan over the plain model.apply path (A/B reference
+        # for the serving mode; validated on-chip in round 4)
         frames = jax.tree.map(
             lambda *xs: jnp.stack(xs), *(staged * (CHUNK // len(staged))))
         sums, state = infer_stream(variables, frames, state)

@@ -327,12 +327,12 @@ class FBOCC(nn.Module):
         # through the Pallas interpreter on any platform
         interpret = (not on_tpu and
                      os.environ.get("FBBEV_FORCE_FUSE_WARP") == "interpret")
-        # OPT-IN for now (FBBEV_FUSE_WARP=1): the fused kernel is
-        # interpret-tested and standalone-correct, but its first full-graph
-        # TPU validation was blocked by a wedged chip lease (round-3 log);
-        # flip to default-on once the on-chip A/B run lands.
+        # DEFAULT-ON since the round-4 on-chip A/B (docs/ROUND4.md):
+        # serving 26.5 -> 26.68 fps with the fused kernel; equivalence
+        # pinned by tests/test_fuse_warp.py.  FBBEV_FUSE_WARP=0 opts out.
         if (self.use_tiled_warp and not train and (on_tpu or interpret)
-                and (os.environ.get("FBBEV_FUSE_WARP") == "1" or interpret)
+                and (os.environ.get("FBBEV_FUSE_WARP", "1") == "1"
+                     or interpret)
                 and os.environ.get("FBBEV_DISABLE_FUSE_WARP") != "1"
                 and pallas_fuse_warp.supports(
                     state.history_bev.shape,

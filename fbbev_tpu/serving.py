@@ -66,14 +66,20 @@ class FixedRigPipeline:
             self.ranks_bev = jnp.asarray(ranks)
             # Pallas sorted-slab pool (ops/pallas_pool.py): host-planned
             # per-(camera, window) blocks over the static rig geometry.
-            # OPT-IN (FBBEV_POOL=pallas) until its on-chip A/B lands.
+            # DEFAULT on TPU since the round-4 on-chip A/B (serving
+            # 23.04 -> 26.5 fps, docs/ROUND4.md); FBBEV_POOL=xla opts out;
+            # FBBEV_FORCE_POOL=interpret exercises it off-TPU (tests).
             import os
+            import jax as _jax
             from fbbev_tpu.ops import pallas_pool
             fH = model.input_size[0] // fp.downsample
             fW = model.input_size[1] // fp.downsample
+            pool_choice = os.environ.get("FBBEV_POOL", "pallas")
+            pool_ok = (_jax.default_backend() == "tpu"
+                       or os.environ.get("FBBEV_FORCE_POOL") == "interpret")
             if (pallas_pool.supports(fH, fW,
                                      model.single_bev_num_channels, fp.D)
-                    and os.environ.get("FBBEV_POOL") == "pallas"):
+                    and pool_choice == "pallas" and pool_ok):
                 self.pool_plan = pallas_pool.plan_pool(
                     np.asarray(ranks), B, model.num_cams, fp.D, fH, fW,
                     self.grid)

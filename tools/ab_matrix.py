@@ -16,17 +16,16 @@ import subprocess
 import sys
 import time
 
+# NOTE env semantics after the round-4 default flips: the default bench
+# mode IS serving with the Pallas pool + fused warp; combos below opt
+# pieces OUT (or select other modes) relative to that.
 COMBOS = [
-    ("default", {}),
-    ("stream", {"FBBEV_BENCH_STREAM": "1"}),
-    ("stream+fusewarp", {"FBBEV_BENCH_STREAM": "1", "FBBEV_FUSE_WARP": "1"}),
-    ("serving", {"FBBEV_BENCH_SERVING": "1"}),
-    ("serving+pallaspool", {"FBBEV_BENCH_SERVING": "1",
-                            "FBBEV_POOL": "pallas"}),
-    ("serving+pallaspool+fusewarp", {"FBBEV_BENCH_SERVING": "1",
-                                     "FBBEV_POOL": "pallas",
-                                     "FBBEV_FUSE_WARP": "1"}),
-    ("stream+occfuse", {"FBBEV_BENCH_STREAM": "1", "FBBEV_OCCFUSE": "1"}),
+    ("default", {}),  # serving + pallas pool + fused warp
+    ("serving-xlapool", {"FBBEV_POOL": "xla"}),
+    ("serving-nofusewarp", {"FBBEV_FUSE_WARP": "0"}),
+    ("stream", {"FBBEV_BENCH_MODE": "stream"}),
+    ("frame", {"FBBEV_BENCH_MODE": "frame"}),
+    ("serving+occfuse", {"FBBEV_OCCFUSE": "1"}),
 ]
 
 
