@@ -127,32 +127,43 @@ def main():
             post_trans=batch0["post_trans"], bda=batch0["bda"])
         pipe = FixedRigPipeline(model, variables, cam)
 
-        @jax.jit
-        def serve_stream(variables, frames, state):
-            def body(st, fr):
-                pred, st = pipe._infer_impl(
-                    variables, fr["imgs"], fr["meta"], st, pipe.ranks_bev,
-                    pipe.bwd_terms, pipe.mlp_input)
-                return st, jnp.sum(pred)
-            st, sums = jax.lax.scan(body, state, frames)
-            return sums, st
-
         def meta_of(b):
             return dict(start_of_sequence=b["start_of_sequence"],
                         sequence_group_idx=b["sequence_group_idx"],
                         curr_to_prev_ego_rt=b["curr_to_prev_ego_rt"])
+
+        if os.environ.get("FBBEV_INT8") == "1":
+            # static int8 PTQ for the serving convs (the reference ships
+            # reduced-precision deploy engines the same way: TensorRT
+            # FP16/INT8 rows, deployment/README.md).  Calibrated on the
+            # staged frames; fidelity priced by tools/fidelity.py --int8.
+            pipe.enable_int8(
+                [np.asarray(b["imgs"]) for b in (batch0, staged[0])],
+                [meta_of(b) for b in (batch0, staged[0])])
+
+        @jax.jit
+        def serve_stream(variables, frames, state, qparams):
+            def body(st, fr):
+                pred, st = pipe._infer_impl(
+                    variables, fr["imgs"], fr["meta"], st, pipe.ranks_bev,
+                    pipe.bwd_terms, pipe.mlp_input, qparams)
+                return st, jnp.sum(pred)
+            st, sums = jax.lax.scan(body, state, frames)
+            return sums, st
 
         frames = jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[dict(imgs=b["imgs"], meta=meta_of(b))
               for b in (staged * (CHUNK // len(staged)))])
         sstate = pipe.state
-        sums, sstate = serve_stream(variables, frames, sstate)
+        sums, sstate = serve_stream(variables, frames, sstate,
+                                    pipe.qparams)
         np.asarray(sums)
         rounds = 2
         t0 = time.perf_counter()
         for _ in range(rounds):
-            sums, sstate = serve_stream(variables, frames, sstate)
+            sums, sstate = serve_stream(variables, frames, sstate,
+                                        pipe.qparams)
         np.asarray(sums)
         dt = (time.perf_counter() - t0) / (rounds * CHUNK)
     elif mode == "stream":

@@ -308,6 +308,13 @@ class ConvBN(nn.Module):
     # decomposition composed with other graph structures faults the v5e
     # worker, docs/ROUND2.md)
     force_native: bool = False
+    # per-instance 3x3x3 implementation override: None = global default
+    # (FBBEV_CONV3D env), else "zslab" | "zfold" | "native".  Added for
+    # the occfuse crash bisect (docs/ROUND4.md): the v5e worker faults
+    # when the z-slab decomposition and the occ-fuse Pallas kernel share
+    # a graph, so the occ head can locally route around z-slab without
+    # paying Conv3DZFold's Z/3x MAC overhead in the 3D encoder.
+    impl3d: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -328,14 +335,16 @@ class ConvBN(nn.Module):
             x = PallasConv3D(self.features, use_bias=self.use_bias,
                              dtype=self.dtype, name="conv")(x)
         elif ("zslab" not in _DISABLED_DECOMP and not self.force_native
+                and self.impl3d != "native"
                 and self.ndim == 3 and ks == (3, 3, 3) and dl == (1, 1, 1)
                 and pad == [(1, 1)] * 3 and st[0] == st[1] == st[2]
                 and st[0] in (1, 2)):
             # FBBEV_CONV3D=zfold: single-conv z-banded formulation
             # (composes with Pallas kernels where z-slab faults the v5e
-            # worker, docs/ROUND2.md); default is the z-slab decomposition
-            impl = (Conv3DZFold if os.environ.get("FBBEV_CONV3D")
-                    == "zfold" else Conv3DZSlab)
+            # worker, docs/ROUND2.md); default is the z-slab decomposition.
+            # self.impl3d overrides per instance (occfuse bisect).
+            sel = self.impl3d or os.environ.get("FBBEV_CONV3D")
+            impl = Conv3DZFold if sel == "zfold" else Conv3DZSlab
             x = impl(self.features, strides=st[0],
                      use_bias=self.use_bias, dtype=self.dtype,
                      name="conv")(x)

@@ -154,17 +154,36 @@ def sem_scal_loss(logits: jnp.ndarray, target: jnp.ndarray,
 
 
 def lovasz_softmax_loss(logits: jnp.ndarray, target: jnp.ndarray,
-                        ignore_index: int = 255) -> jnp.ndarray:
+                        ignore_index: int = 255,
+                        method: Optional[str] = None) -> jnp.ndarray:
     """Multi-class Lovasz-softmax with classes='present'
     (lovasz_softmax.py:157-207), expressed with masked sorts for static
     shapes: ignored voxels get error 0 / fg 0, which contributes nothing
     to the Lovasz dot product.
+
+    ``method`` (default env ``FBBEV_LOVASZ`` or "sort"):
+
+    * "sort": exact, one batched (C, N) ``lax.sort`` -- the TPU sort is
+      the single largest op in the training step (~80 ms at 200x200x16,
+      docs/PERF.md);
+    * "hist": counting-sort formulation -- errors are quantized to
+      ``FBBEV_LOVASZ_BINS`` (default 2048) levels and the per-class
+      histogram is built by one-hot matmuls (MXU work instead of sort
+      throughput).  The Lovasz gradient-coefficient sum telescopes within
+      an error-equal bin, so the loss equals the exact Lovasz of the
+      quantized errors with the bin-mean error as representative:
+      |hist - sort| <= bin_width.  The VJP is the bin-averaged Lovasz
+      coefficient -- a smoothed version of the exact per-element one.
     """
+    import os
+    method = method or os.environ.get("FBBEV_LOVASZ", "sort")
     C = logits.shape[-1]
     probas = jax.nn.softmax(
         logits.astype(jnp.float32), axis=-1).reshape(-1, C)
     labels = target.reshape(-1)
     valid = labels != ignore_index
+    if method == "hist":
+        return _lovasz_hist(probas, labels, valid, C)
 
     # all classes through ONE batched multi-operand sort: the earlier
     # per-class python loop lowered 19 separate 640k-element sorts, which
@@ -190,6 +209,63 @@ def lovasz_softmax_loss(logits: jnp.ndarray, target: jnp.ndarray,
     grad = jnp.concatenate(
         [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=1)
     loss_c = jnp.sum(jnp.maximum(errors_sorted, 0.0) * grad, axis=1)
+    present = gts[:, 0] > 0
+    total = jnp.sum(jnp.where(present, loss_c, 0.0))
+    count = jnp.sum(present.astype(jnp.float32))
+    return total / jnp.maximum(count, 1.0)
+
+
+def _lovasz_hist(probas: jnp.ndarray, labels: jnp.ndarray,
+                 valid: jnp.ndarray, C: int,
+                 nbins: Optional[int] = None) -> jnp.ndarray:
+    """Counting-sort Lovasz (see :func:`lovasz_softmax_loss`).
+
+    Math: with errors quantized to bins, the per-element Lovasz
+    coefficients ``grad[i] = J[i] - J[i-1]`` telescope over the (error-
+    equal) run of each bin, so the loss needs the Jaccard index only at
+    bin boundaries -- and those depend only on cumulative (count, fg)
+    per bin, not on any within-bin order:
+
+        loss_c = sum_b (J(b) - J(b-1)) * mean_error(b)
+
+    where J(b) = 1 - inter/union after all elements with bin >= b.
+    Histogram counts / fg sums / error sums are one-hot matmuls (the MXU
+    formulation used throughout this framework, ops/deform_attn.py).
+    """
+    import os
+    if nbins is None:
+        nbins = int(os.environ.get("FBBEV_LOVASZ_BINS", "2048"))
+    fg = (jax.nn.one_hot(labels, C, dtype=jnp.float32)
+          * valid[:, None].astype(jnp.float32))        # (N, C)
+    errors = jnp.where(valid[:, None], jnp.abs(fg - probas), 0.0)
+    e_t = errors.T                                      # (C, N)
+    fg_t = fg.T
+    # bin 0 = error 0, bin nbins-1 = error 1; round-to-nearest level
+    idx = jnp.round(e_t * (nbins - 1)).astype(jnp.int32)
+    onehot = (idx[:, :, None] ==
+              jnp.arange(nbins, dtype=jnp.int32)).astype(jnp.float32)
+    ones = jnp.ones_like(e_t)
+    # (C, N) x (C, N, B) -> (C, B); XLA fuses the one-hot build into the
+    # contraction (no (C, N, B) materialisation -- verified by
+    # memory_analysis, docs/ROUND4.md)
+    cnt = jnp.einsum("cn,cnb->cb", ones, onehot)
+    fgs = jnp.einsum("cn,cnb->cb", fg_t, onehot)
+    es = jnp.einsum("cn,cnb->cb", e_t, onehot)
+
+    # descending error order: flip so index 0 = largest error
+    cnt_d = jnp.flip(cnt, axis=1)
+    fgs_d = jnp.flip(fgs, axis=1)
+    es_d = jnp.flip(es, axis=1)
+    gts = jnp.sum(fg_t, axis=1, keepdims=True)          # (C, 1)
+    cum_cnt = jnp.cumsum(cnt_d, axis=1)
+    cum_fg = jnp.cumsum(fgs_d, axis=1)
+    inter = gts - cum_fg
+    union = gts + (cum_cnt - cum_fg)
+    jacc = 1.0 - inter / jnp.maximum(union, 1e-9)       # J at bin ends
+    jacc_prev = jnp.concatenate(
+        [jnp.zeros_like(jacc[:, :1]), jacc[:, :-1]], axis=1)
+    mean_e = es_d / jnp.maximum(cnt_d, 1.0)
+    loss_c = jnp.sum((jacc - jacc_prev) * mean_e, axis=1)
     present = gts[:, 0] > 0
     total = jnp.sum(jnp.where(present, loss_c, 0.0))
     count = jnp.sum(present.astype(jnp.float32))

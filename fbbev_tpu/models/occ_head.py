@@ -59,9 +59,17 @@ class OccHead(nn.Module):
                               epsilon=1e-5, dtype=self.dtype,
                               name="deblock_bn")(x0)
             outputs.append(nn.relu(x0))
+        # FBBEV_OCCHEAD_CONV3D: per-head 3x3x3 impl override ("zfold" /
+        # "native") -- the occfuse Pallas kernel faults the v5e worker
+        # when a z-slab decomposed conv shares its graph (docs/ROUND4.md
+        # bisect), so the head can route around z-slab locally while the
+        # 3D encoder keeps the cheaper decomposition.
+        import os
+        occ_impl = os.environ.get("FBBEV_OCCHEAD_CONV3D") or None
         for i in range(self.num_level):
             outputs.append(
                 ConvBN(mid, 3, padding=1, ndim=3, dtype=self.dtype,
+                       impl3d=occ_impl,
                        name=f"occ_conv{i}")(voxel_feats[i], train))
 
         n_feats = len(outputs)

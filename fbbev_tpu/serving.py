@@ -84,50 +84,76 @@ class FixedRigPipeline:
                     np.asarray(ranks), B, model.num_cams, fp.D, fH, fW,
                     self.grid)
 
+        self.qparams = None  # set by enable_int8()
         self._infer = jax.jit(self._infer_impl)
         self.state = init_temporal_state(
             B, self.grid, model.history_cat_num,
             model.single_bev_num_channels, dtype=model.dtype)
 
     # ------------------------------------------------------------------
-    def _infer_impl(self, variables, imgs, meta, state: TemporalState,
-                    ranks_bev, bwd_terms, mlp_input):
-        model = self.model
+    def _fwd(self, mdl, imgs, meta, state: TemporalState, ranks_bev,
+             bwd_terms, mlp_input):
         cam = self.cam
+        feats = mdl.image_encoder(imgs, False)
+        context, depth = mdl.depth_net(feats, mlp_input, False)
+        if self.pool_plan is not None:
+            import os
+            from fbbev_tpu.ops.pallas_pool import lss_voxel_pool_planned
+            bev = lss_voxel_pool_planned(
+                self.pool_plan, depth.astype(jnp.float32),
+                context.astype(jnp.float32),
+                interpret=os.environ.get("FBBEV_FORCE_POOL")
+                == "interpret")
+        elif ranks_bev is not None:
+            from fbbev_tpu.ops.bev_pool import lss_voxel_pool_precomputed
+            bev = lss_voxel_pool_precomputed(
+                ranks_bev, depth.astype(jnp.float32),
+                context.astype(jnp.float32), self.grid)
+        else:
+            bev = mdl.forward_projection(cam, context, depth)
+        if mdl.use_backward_projection:
+            lss_bev = jnp.mean(bev, axis=3)
+            refined = mdl.backward_projection(
+                context, lss_bev.astype(mdl.dtype), cam, depth, False,
+                static_terms=bwd_terms)
+            bev = refined.astype(jnp.float32)[:, :, :, None, :] + bev
+        fused, new_state, _ = mdl.fuse_history(
+            bev, state, meta, cam.bda, True, False)
+        x = mdl.img_bev_encoder_backbone(fused.astype(jnp.float32),
+                                         False)
+        vox = mdl.img_bev_encoder_neck(x, False)
+        logits = mdl.occupancy_head(vox, False)
+        return logits.argmax(-1).astype(jnp.int32), new_state
+
+    def _infer_impl(self, variables, imgs, meta, state: TemporalState,
+                    ranks_bev, bwd_terms, mlp_input, qparams=None):
+        from fbbev_tpu.utils.quantize import quantized_calls
 
         def fwd(mdl):
-            feats = mdl.image_encoder(imgs, False)
-            context, depth = mdl.depth_net(feats, mlp_input, False)
-            if self.pool_plan is not None:
-                import os
-                from fbbev_tpu.ops.pallas_pool import lss_voxel_pool_planned
-                bev = lss_voxel_pool_planned(
-                    self.pool_plan, depth.astype(jnp.float32),
-                    context.astype(jnp.float32),
-                    interpret=os.environ.get("FBBEV_FORCE_POOL")
-                    == "interpret")
-            elif ranks_bev is not None:
-                from fbbev_tpu.ops.bev_pool import lss_voxel_pool_precomputed
-                bev = lss_voxel_pool_precomputed(
-                    ranks_bev, depth.astype(jnp.float32),
-                    context.astype(jnp.float32), self.grid)
-            else:
-                bev = mdl.forward_projection(cam, context, depth)
-            if mdl.use_backward_projection:
-                lss_bev = jnp.mean(bev, axis=3)
-                refined = mdl.backward_projection(
-                    context, lss_bev.astype(mdl.dtype), cam, depth, False,
-                    static_terms=bwd_terms)
-                bev = refined.astype(jnp.float32)[:, :, :, None, :] + bev
-            fused, new_state, _ = mdl.fuse_history(
-                bev, state, meta, cam.bda, True, False)
-            x = mdl.img_bev_encoder_backbone(fused.astype(jnp.float32),
-                                             False)
-            vox = mdl.img_bev_encoder_neck(x, False)
-            logits = mdl.occupancy_head(vox, False)
-            return logits.argmax(-1).astype(jnp.int32), new_state
+            with quantized_calls(qparams):
+                return self._fwd(mdl, imgs, meta, state, ranks_bev,
+                                 bwd_terms, mlp_input)
 
-        return nn_apply(model, variables, fwd)
+        return nn_apply(self.model, variables, fwd)
+
+    # ------------------------------------------------------------------
+    def enable_int8(self, calib_frames, calib_metas, exclude=None):
+        """Static int8 PTQ for the serving convs (the TPU analogue of the
+        reference's reduced-precision TensorRT engines,
+        ``deployment/README.md``): calibrate per-tensor activation scales
+        over the provided frames, quantize conv weights per-out-channel
+        on the host, and route eligible convs through s8 x s8 -> s32 MXU
+        convolutions in every subsequent :meth:`__call__`.
+
+        ``calib_frames``: iterable of (B, N, H, W, 3) image arrays;
+        ``calib_metas``: matching temporal-meta dicts.  Cost of the
+        scheme is priced end-to-end by ``tools/fidelity.py --int8``.
+        """
+        from fbbev_tpu.utils import quantize as Q
+        kw = {} if exclude is None else {"exclude": exclude}
+        scales = Q.calibrate_serving(self, calib_frames, calib_metas)
+        self.qparams = Q.build_qparams(self.variables, scales, **kw)
+        return self.qparams
 
     # ------------------------------------------------------------------
     def __call__(self, imgs: np.ndarray, start_of_sequence: bool,
@@ -143,7 +169,7 @@ class FixedRigPipeline:
         )
         pred, self.state = self._infer(
             self.variables, jnp.asarray(imgs), meta, self.state,
-            self.ranks_bev, self.bwd_terms, self.mlp_input)
+            self.ranks_bev, self.bwd_terms, self.mlp_input, self.qparams)
         return pred
 
     def benchmark(self, iters: int = 20,

@@ -1,0 +1,309 @@
+"""Post-training int8 quantization (PTQ) for the serving path.
+
+The TPU-native analogue of the reference deployment's reduced-precision
+engines (TensorRT FP16/INT8 rows, ``/root/reference/deployment/README.md``):
+the v5e MXU runs s8 x s8 -> s32 at 2x the bf16 peak, so the serving convs
+are executed as int8 convolutions with
+
+  * per-OUTPUT-CHANNEL symmetric weight scales (host-precomputed), and
+  * per-TENSOR symmetric activation scales from a short calibration run
+    (max-abs over calibration frames, the classic static-PTQ recipe).
+
+Nothing in the model code changes: quantization is applied by a flax
+method interceptor (`flax.linen.intercept_methods`) that replaces the
+``__call__`` of eligible conv modules -- ``nn.Conv``, ``Conv3DZSlab``,
+``Conv1x1x1Dense`` -- with the int8 formulation whenever the module's
+path has an entry in the quantization-parameter tree.  The same
+interceptor mechanism (with a sow) collects calibration statistics.
+
+Numerically sensitive heads are excluded by default (the final
+occupancy logits conv and the pre-softmax depth-bin conv); the
+end-to-end cost of the scheme is priced by ``tools/fidelity.py --int8``
+the way the reference priced its FP16 engine (mIoU delta column).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# final 19-class occupancy logits + the 80-way pre-softmax depth head:
+# classification logits are the classic PTQ exclusions (and both are
+# cheap 1x1 convs, so the MXU win is negligible anyway)
+DEFAULT_EXCLUDE = (r"pred_conv2", r"depth_net/depth_conv")
+
+_QCOLL = "quant_stats"
+
+
+def _path_str(module: nn.Module) -> str:
+    return "/".join(module.path)
+
+
+def _eligible(module: nn.Module, method: str) -> bool:
+    from fbbev_tpu.models.layers import Conv1x1x1Dense, Conv3DZSlab
+    return (method == "__call__"
+            and isinstance(module, (nn.Conv, Conv3DZSlab, Conv1x1x1Dense)))
+
+
+# ---------------------------------------------------------------------------
+# calibration
+
+
+@contextlib.contextmanager
+def collect_scales():
+    """Context manager: while active, every eligible conv sows the
+    max-abs of its input into the ``quant_stats`` collection.  Run the
+    forward with ``mutable=[..., "quant_stats"]`` and read the stats from
+    the returned variables."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if _eligible(m, context.method_name) and args:
+            x = args[0]
+            m.sow(_QCOLL, "in_absmax",
+                  jnp.max(jnp.abs(x.astype(jnp.float32))),
+                  init_fn=lambda: jnp.float32(0.0),
+                  reduce_fn=jnp.maximum)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        yield
+
+
+def scales_from_stats(stats: Dict[str, Any]) -> Dict[str, float]:
+    """Flatten a ``quant_stats`` tree into {module_path: absmax}."""
+    flat = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            # leaf: path ends with the sow name ("in_absmax")
+            assert path[-1] == "in_absmax", path
+            flat["/".join(path[:-1])] = float(np.asarray(node))
+
+    walk(jax.tree.map(np.asarray, stats), ())
+    return flat
+
+
+def calibrate_serving(pipe, frames: Sequence[np.ndarray],
+                      metas: Sequence[Dict[str, Any]]) -> Dict[str, float]:
+    """Run the serving forward over calibration frames collecting
+    activation scales.  ``frames[i]``: (B, N, H, W, 3); ``metas[i]``:
+    start_of_sequence / sequence_group_idx / curr_to_prev_ego_rt dict."""
+    model, variables = pipe.model, pipe.variables
+    state = pipe.state
+
+    @jax.jit
+    def step(variables, imgs, meta, state):
+        with collect_scales():
+            (pred, new_state), stats = model.apply(
+                variables,
+                lambda mdl: pipe._fwd(mdl, imgs, meta, state,
+                                      pipe.ranks_bev, pipe.bwd_terms,
+                                      pipe.mlp_input),
+                method=_run_bound, mutable=[_QCOLL])
+        return new_state, stats[_QCOLL]
+
+    merged: Dict[str, float] = {}
+    for imgs, meta in zip(frames, metas):
+        state, stats = step(variables, jnp.asarray(imgs), meta, state)
+        for k, v in scales_from_stats(stats).items():
+            merged[k] = max(merged.get(k, 0.0), v)
+    return merged
+
+
+def _run_bound(mdl, fn):
+    return fn(mdl)
+
+
+def calibrate_model(model, variables, stream, state) -> Dict[str, float]:
+    """Collect activation scales over the standard ``model.apply`` eval
+    path (one temporal stream of batch dicts).  Used by tools/fidelity.py
+    and anywhere a FixedRigPipeline is not in play."""
+
+    @jax.jit
+    def step(variables, batch, state):
+        with collect_scales():
+            (outputs, new_state), mut = model.apply(
+                variables, batch, state, train=False, mutable=[_QCOLL])
+        return new_state, mut[_QCOLL]
+
+    merged: Dict[str, float] = {}
+    for b in stream:
+        state, stats = step(variables, b, state)
+        for k, v in scales_from_stats(stats).items():
+            merged[k] = max(merged.get(k, 0.0), v)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# qparams construction (host side)
+
+
+def build_qparams(variables: Dict[str, Any], scales: Dict[str, float],
+                  exclude: Sequence[str] = DEFAULT_EXCLUDE,
+                  min_absmax: float = 1e-6) -> Dict[str, Dict[str, Any]]:
+    """Quantize conv weights per-out-channel for every calibrated path.
+
+    Returns a flat {module_path: {"w_q" int8, "s_w" f32[Cout],
+    "s_x" f32[], "b" f32[Cout] | None}} dict -- a valid pytree, passed
+    into the jitted serving step as a device input.
+    """
+    params = variables["params"]
+    exc = [re.compile(p) for p in exclude]
+    out: Dict[str, Dict[str, Any]] = {}
+    for path, absmax in scales.items():
+        if any(p.search(path) for p in exc):
+            continue
+        if absmax <= min_absmax:
+            continue
+        node = params
+        ok = True
+        for k in path.split("/"):
+            if not isinstance(node, dict) or k not in node:
+                ok = False
+                break
+            node = node[k]
+        if not ok or "kernel" not in node:
+            continue
+        k = np.asarray(node["kernel"], np.float32)
+        red = tuple(range(k.ndim - 1))  # all but Cout
+        s_w = np.abs(k).max(axis=red) / 127.0
+        s_w = np.maximum(s_w, 1e-12)
+        w_q = np.clip(np.round(k / s_w), -127, 127).astype(np.int8)
+        out[path] = {
+            "w_q": jnp.asarray(w_q),
+            "s_w": jnp.asarray(s_w.astype(np.float32)),
+            "s_x": jnp.float32(absmax / 127.0),
+            "b": (jnp.asarray(np.asarray(node["bias"], np.float32))
+                  if "bias" in node else None),
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# quantized execution
+
+
+def _quantize_act(x, s_x):
+    xq = jnp.round(x.astype(jnp.float32) / s_x)
+    return jnp.clip(xq, -127.0, 127.0).astype(jnp.int8)
+
+
+def _dn(rank: int):
+    if rank == 4:
+        return ("NHWC", "HWIO", "NHWC")
+    if rank == 5:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError(rank)
+
+
+def _canon_padding(pad, nspatial: int):
+    if isinstance(pad, str):
+        return pad
+    if isinstance(pad, int):
+        return [(pad, pad)] * nspatial
+    out = []
+    for p in pad:
+        out.append((p, p) if isinstance(p, int) else tuple(p))
+    return out
+
+
+def _out_dtype(m, x):
+    return m.dtype if m.dtype is not None else x.dtype
+
+
+def _quant_nn_conv(m: nn.Conv, qp, x):
+    n = len(m.kernel_size)
+    strides = m.strides or 1
+    if isinstance(strides, int):
+        strides = (strides,) * n
+    dil = m.kernel_dilation or 1
+    if isinstance(dil, int):
+        dil = (dil,) * n
+    xq = _quantize_act(x, qp["s_x"])
+    y = jax.lax.conv_general_dilated(
+        xq, qp["w_q"], tuple(strides), _canon_padding(m.padding, n),
+        rhs_dilation=tuple(dil), dimension_numbers=_dn(x.ndim),
+        feature_group_count=m.feature_group_count,
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (qp["s_x"] * qp["s_w"])
+    if qp["b"] is not None:
+        y = y + qp["b"]
+    return y.astype(_out_dtype(m, x))
+
+
+def _quant_zslab(m, qp, x):
+    # int8 re-derivation of Conv3DZSlab (models/layers.py): quantize the
+    # input ONCE, run the three z-shifted 2D convs in int8, accumulate in
+    # int32, dequantize once.  Zero-padding is exact under a symmetric
+    # scale (q(0) == 0).
+    B, Y, X, Z, Cin = x.shape
+    s = m.strides
+    xq = _quantize_act(x, qp["s_x"])
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    Zo = (Z + 2 - 3) // s + 1
+    acc = None
+    for dz in range(3):
+        xs = jax.lax.slice_in_dim(xq, dz, dz + (Zo - 1) * s + 1, s, axis=3)
+        x2 = jnp.moveaxis(xs, 3, 1).reshape(B * Zo, Y, X, Cin)
+        y2 = jax.lax.conv_general_dilated(
+            x2, qp["w_q"][:, :, dz], (s, s), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y2 = jnp.moveaxis(y2.reshape((B, Zo) + y2.shape[1:]), 1, 3)
+        acc = y2 if acc is None else acc + y2
+    y = acc.astype(jnp.float32) * (qp["s_x"] * qp["s_w"])
+    if qp["b"] is not None:
+        y = y + qp["b"]
+    return y.astype(_out_dtype(m, x))
+
+
+def _quant_pointwise(m, qp, x):
+    if m.strides != 1:
+        s = m.strides
+        x = x[:, ::s, ::s, ::s, :]
+    Cin = x.shape[-1]
+    xq = _quantize_act(x, qp["s_x"])
+    w = qp["w_q"].reshape(Cin, -1)
+    y = jax.lax.dot_general(
+        xq, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (qp["s_x"] * qp["s_w"])
+    if qp["b"] is not None:
+        y = y + qp["b"]
+    return y.astype(_out_dtype(m, x))
+
+
+@contextlib.contextmanager
+def quantized_calls(qparams: Optional[Dict[str, Dict[str, Any]]]):
+    """While active, eligible conv modules whose path is in ``qparams``
+    execute the int8 formulation instead of their normal ``__call__``."""
+    if not qparams:
+        yield
+        return
+
+    from fbbev_tpu.models.layers import Conv1x1x1Dense, Conv3DZSlab
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if _eligible(m, context.method_name):
+            qp = qparams.get(_path_str(m))
+            if qp is not None:
+                if isinstance(m, Conv3DZSlab):
+                    return _quant_zslab(m, qp, args[0])
+                if isinstance(m, Conv1x1x1Dense):
+                    return _quant_pointwise(m, qp, args[0])
+                return _quant_nn_conv(m, qp, args[0])
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        yield

@@ -2,6 +2,7 @@
 reference's dynamic-shape behaviour), validating our masked static-shape
 formulations."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -201,3 +202,27 @@ def test_gt_mode_pool_matches_torch_oracle(rng):
     got2 = np.asarray(downsample_gt_mode_pool(jnp.asarray(t2), 2))
     want2 = torch_oracle(t2, 2)
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_lovasz_hist_matches_sort(rng):
+    """The counting-sort Lovasz (method="hist") must agree with the exact
+    batched-sort formulation to within its quantization bound (~1/bins),
+    including its gradient direction."""
+    logits, target = make_case(rng)
+    exact = float(L.lovasz_softmax_loss(jnp.asarray(logits),
+                                        jnp.asarray(target)))
+    hist = float(L.lovasz_softmax_loss(jnp.asarray(logits),
+                                       jnp.asarray(target), method="hist"))
+    assert abs(hist - exact) < 3e-3, (hist, exact)
+    np.testing.assert_allclose(hist, np_lovasz(logits, target), atol=3e-3)
+
+    # gradient: the hist VJP is the bin-averaged Lovasz coefficient --
+    # cosine similarity with the exact sort VJP should be high
+    g_exact = jax.grad(lambda x: L.lovasz_softmax_loss(
+        x, jnp.asarray(target)))(jnp.asarray(logits))
+    g_hist = jax.grad(lambda x: L.lovasz_softmax_loss(
+        x, jnp.asarray(target), method="hist"))(jnp.asarray(logits))
+    a = np.asarray(g_exact).ravel()
+    b = np.asarray(g_hist).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.98, cos

@@ -1,0 +1,156 @@
+"""int8 PTQ (fbbev_tpu/utils/quantize.py): calibration via the method
+interceptor, per-out-channel weight quantization, and the quantized
+execution of the three conv formulations.  The TPU analogue of the
+reference's reduced-precision deployment engines
+(``/root/reference/deployment/README.md`` FP16/INT8 rows)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fbbev_tpu.models.layers import Conv1x1x1Dense, Conv3DZSlab, ConvBN
+from fbbev_tpu.utils import quantize as Q
+
+
+class TinyNet(nn.Module):
+    @nn.compact
+    def __call__(self, x2d, x3d, train: bool = False):
+        a = ConvBN(16, 3, dtype=jnp.float32, name="c2d")(x2d, train)
+        a = nn.Conv(8, (1, 1), use_bias=True, name="proj")(a)
+        b = Conv3DZSlab(8, name="c3d")(x3d)
+        c = Conv1x1x1Dense(4, name="pw")(b)
+        return a, b, c
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    rng = np.random.RandomState(0)
+    x2d = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    x3d = jnp.asarray(rng.randn(1, 6, 6, 4, 4).astype(np.float32))
+    net = TinyNet()
+    variables = net.init(jax.random.PRNGKey(0), x2d, x3d)
+    return net, variables, x2d, x3d
+
+
+def _calibrate(net, variables, x2d, x3d):
+    with Q.collect_scales():
+        _, mut = net.apply(variables, x2d, x3d,
+                           mutable=[Q._QCOLL])
+    return Q.scales_from_stats(mut[Q._QCOLL])
+
+
+def test_calibration_collects_all_convs(tiny):
+    net, variables, x2d, x3d = tiny
+    scales = _calibrate(net, variables, x2d, x3d)
+    # ConvBN's child conv, the bare nn.Conv, the z-slab, the pointwise
+    assert set(scales) == {"c2d/conv", "proj", "c3d", "pw"}, scales
+    assert all(v > 0 for v in scales.values())
+    # input absmax of the 2D conv is the actual input absmax
+    np.testing.assert_allclose(scales["c2d/conv"],
+                               float(np.abs(np.asarray(x2d)).max()),
+                               rtol=1e-6)
+
+
+def test_quantized_outputs_close(tiny):
+    net, variables, x2d, x3d = tiny
+    scales = _calibrate(net, variables, x2d, x3d)
+    qparams = Q.build_qparams(variables, scales, exclude=())
+    assert set(qparams) == {"c2d/conv", "proj", "c3d", "pw"}
+
+    ref = net.apply(variables, x2d, x3d)
+    with Q.quantized_calls(qparams):
+        got = net.apply(variables, x2d, x3d)
+    for r, g in zip(ref, got):
+        r, g = np.asarray(r), np.asarray(g)
+        err = np.abs(r - g).max()
+        scale = np.abs(r).max()
+        assert err > 0  # int8 actually engaged
+        assert err < 0.05 * scale, (err, scale)
+
+
+def test_quantized_grouped_strided_conv():
+    """nn.Conv attribute plumbing: strides, padding, groups, dilation."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 9, 9, 8).astype(np.float32))
+    net = nn.Conv(8, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                  feature_group_count=2, use_bias=True)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    with Q.collect_scales():
+        _, mut = net.apply(variables, x, mutable=[Q._QCOLL])
+    scales = Q.scales_from_stats(mut[Q._QCOLL])
+    # path of a top-level module is empty; build its qparams manually
+    k = np.asarray(variables["params"]["kernel"], np.float32)
+    s_w = np.abs(k).max(axis=(0, 1, 2)) / 127.0
+    qp = {"": {
+        "w_q": jnp.asarray(np.clip(np.round(k / s_w), -127, 127),
+                           jnp.int8),
+        "s_w": jnp.asarray(s_w.astype(np.float32)),
+        "s_x": jnp.float32(scales[""] / 127.0),
+        "b": jnp.asarray(np.asarray(variables["params"]["bias"],
+                                    np.float32)),
+    }}
+    ref = net.apply(variables, x)
+    with Q.quantized_calls(qp):
+        got = net.apply(variables, x)
+    err = float(np.abs(np.asarray(ref) - np.asarray(got)).max())
+    assert 0 < err < 0.05 * float(np.abs(np.asarray(ref)).max())
+
+
+def test_exclude_regex(tiny):
+    net, variables, x2d, x3d = tiny
+    scales = _calibrate(net, variables, x2d, x3d)
+    qparams = Q.build_qparams(variables, scales, exclude=(r"proj", r"pw"))
+    assert set(qparams) == {"c2d/conv", "c3d"}
+    ref = net.apply(variables, x2d, x3d)
+    with Q.quantized_calls(qparams):
+        got = net.apply(variables, x2d, x3d)
+    # the pointwise head was excluded -> path c is quantized only through
+    # its input (b); still close
+    assert np.abs(np.asarray(ref[2]) - np.asarray(got[2])).max() < 0.1
+
+
+def test_serving_enable_int8_smoke():
+    """FixedRigPipeline.enable_int8 end-to-end on the tiny model: the
+    calibrated + quantized pipeline runs under jit and produces valid
+    class ids with high argmax agreement vs the unquantized pipeline."""
+    from fbbev_tpu import geometry
+    from fbbev_tpu.models import FBOCC
+    from fbbev_tpu.models.fbocc import init_temporal_state
+    from fbbev_tpu.serving import FixedRigPipeline
+    from tests.test_train import TINY_BEVFORMER_GRID, TINY_GRID, tiny_batch
+
+    rng = np.random.RandomState(3)
+    model = FBOCC(grid_config=TINY_GRID,
+                  bevformer_grid_config=TINY_BEVFORMER_GRID,
+                  input_size=(64, 176), num_cams=2, history_cat_num=2,
+                  voxel_channels=(16, 32, 64), voxel_out_channels=32)
+    batch = tiny_batch(rng, B=1, N=2, with_gt=False)
+    state = init_temporal_state(1, (25, 25, 8), 2, 80)
+    variables = model.init(jax.random.PRNGKey(0), batch, state)
+    cam = geometry.CamParams(
+        rots=batch["rots"], trans=batch["trans"],
+        intrins=batch["intrins"], post_rots=batch["post_rots"],
+        post_trans=batch["post_trans"], bda=batch["bda"])
+    pipe = FixedRigPipeline(model, variables, cam, use_host_ranks=True)
+
+    frames = [np.asarray(batch["imgs"]),
+              rng.randn(1, 2, 64, 176, 3).astype(np.float32)]
+    meta = dict(start_of_sequence=jnp.ones((1,), bool),
+                sequence_group_idx=jnp.zeros((1,), jnp.int32),
+                curr_to_prev_ego_rt=jnp.asarray(
+                    np.eye(4, dtype=np.float32)[None]))
+    ref = [np.asarray(pipe(f, i == 0)) for i, f in enumerate(frames)]
+
+    pipe2 = FixedRigPipeline(model, variables, cam, use_host_ranks=True)
+    qparams = pipe2.enable_int8([frames[0]], [meta])
+    assert len(qparams) >= 20  # covers the conv stack
+    assert not any("pred_conv2" in k for k in qparams)  # default exclude
+    got = [np.asarray(pipe2(f, i == 0)) for i, f in enumerate(frames)]
+    for r, g in zip(ref, got):
+        assert g.shape == r.shape and g.dtype == r.dtype
+        assert (g >= 0).all() and (g < model.num_classes).all()
+        # random-weight tiny model: logits are nearly flat, so argmax
+        # ties flip easily -- require majority agreement only
+        assert (r == g).mean() > 0.5, (r == g).mean()

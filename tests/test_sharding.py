@@ -113,3 +113,18 @@ def test_sharded_train_step_use_mesh():
         if k in metrics_ref:
             a, b = float(metrics[k]), float(metrics_ref[k])
             assert abs(a - b) / max(abs(b), 1e-6) < 0.5, (k, a, b)
+
+
+def test_flagship_aot_per_device_flops():
+    """VERDICT r3 #7: AOT compile-only evidence at the FLAGSHIP shape
+    (R50, 6 cams, 256x704, 100x100x8 BEV, 16-frame history, B=8): a
+    pure-data 8-device mesh must put <= 0.15x of the unsharded step's
+    compiled flops on each device (ideal 0.125).  Nothing executes --
+    only two compiles are paid (~4 min each on CPU; the slow group).
+    The reference assumes the same in its 16-GPU DDP recipe
+    (``/root/reference/mmdet3d/apis/train.py:229-233``)."""
+    import tools.multichip_aot as aot
+
+    report = aot.measure(data=8, space=1, batch=8, small=False)
+    ratio = report["per_device_ratio"]
+    assert ratio <= 0.15, report

@@ -26,6 +26,29 @@ COMBOS = [
     ("stream", {"FBBEV_BENCH_MODE": "stream"}),
     ("frame", {"FBBEV_BENCH_MODE": "frame"}),
     ("serving+occfuse", {"FBBEV_OCCFUSE": "1"}),
+    # occ-fuse crash bisect (VERDICT r3 #2): the kernel faults the v5e
+    # worker only inside the full graph; these isolate which co-resident
+    # graph structure triggers it (z-slab decomposition is the known
+    # bad actor from the training-graph family, docs/ROUND2.md)
+    ("serving+occfuse+zfold", {"FBBEV_OCCFUSE": "1",
+                               "FBBEV_CONV3D": "zfold"}),
+    ("serving+occfuse+nozslab", {"FBBEV_OCCFUSE": "1",
+                                 "FBBEV_DISABLE_CONV_DECOMP": "zslab"}),
+    ("serving+occfuse+nofusewarp", {"FBBEV_OCCFUSE": "1",
+                                    "FBBEV_FUSE_WARP": "0"}),
+    ("serving+occfuse+xlapool", {"FBBEV_OCCFUSE": "1",
+                                 "FBBEV_POOL": "xla"}),
+    ("serving+zfold", {"FBBEV_CONV3D": "zfold"}),
+    # static int8 PTQ for the serving convs (utils/quantize.py) -- the
+    # v5e MXU's 2x lever; fidelity priced by tools/fidelity.py --int8
+    ("serving+int8", {"FBBEV_INT8": "1"}),
+    ("serving+int8+occfuse", {"FBBEV_INT8": "1", "FBBEV_OCCFUSE": "1"}),
+    # occ-head-local z-slab avoidance: zfold/native ONLY in the occ head
+    # (encoder keeps zslab) -- the surgical version of the zfold fix
+    ("serving+occfuse+oczfold", {"FBBEV_OCCFUSE": "1",
+                                 "FBBEV_OCCHEAD_CONV3D": "zfold"}),
+    ("serving+occfuse+ocnative", {"FBBEV_OCCFUSE": "1",
+                                  "FBBEV_OCCHEAD_CONV3D": "native"}),
 ]
 
 

@@ -85,11 +85,13 @@ def make_stream(rng, B, N, H, W, frames):
     return out
 
 
-def run_stream(model, variables, stream, grid, channels, dtype):
+def run_stream(model, variables, stream, grid, channels, dtype,
+               qparams=None):
     import jax
     import jax.numpy as jnp
 
     from fbbev_tpu.models.fbocc import init_temporal_state
+    from fbbev_tpu.utils.quantize import quantized_calls
 
     state = init_temporal_state(
         int(stream[0]["imgs"].shape[0]), grid, model.history_cat_num,
@@ -97,7 +99,9 @@ def run_stream(model, variables, stream, grid, channels, dtype):
 
     @jax.jit
     def step(variables, batch, state):
-        outputs, state = model.apply(variables, batch, state, train=False)
+        with quantized_calls(qparams):
+            outputs, state = model.apply(variables, batch, state,
+                                         train=False)
         return outputs, state
 
     outs = []
@@ -117,6 +121,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     help="serving compute dtype to price vs float32")
     ap.add_argument("--no-fold-bn", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="price the serving int8 PTQ config (calibrated "
+                         "on the first two stream frames) instead of "
+                         "plain --dtype compute")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -148,9 +156,21 @@ def main():
     vb = variables if args.no_fold_bn else jax.tree.map(
         jnp.asarray, fold_batch_norms(variables))
     dt_b = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[args.dtype]
-    outs_b = run_stream(model_b, vb, stream, grid, C, dt_b)
 
-    report = {"size": size, "dtype": args.dtype,
+    qparams = None
+    if args.int8:
+        from fbbev_tpu.models.fbocc import init_temporal_state
+        from fbbev_tpu.utils import quantize as Q
+        st0 = init_temporal_state(1, grid, model_b.history_cat_num, C,
+                                  dtype=dt_b)
+        scales = Q.calibrate_model(model_b, vb, stream[:2], st0)
+        qparams = Q.build_qparams(vb, scales)
+        print(json.dumps({"int8_quantized_convs": len(qparams)}))
+
+    outs_b = run_stream(model_b, vb, stream, grid, C, dt_b,
+                        qparams=qparams)
+
+    report = {"size": size, "dtype": args.dtype, "int8": args.int8,
               "fold_bn": not args.no_fold_bn, "frames": []}
     for i, (a, b) in enumerate(zip(outs_a, outs_b)):
         fr = {"frame": i}

@@ -64,7 +64,10 @@ def main():
         env=env, cwd=REPO, check=True)
 
 
-def _impl(args):
+def measure(data: int, space: int, batch: int, small: bool) -> dict:
+    """Compile (never execute) the train step unsharded and over a
+    (data, space) mesh; return the per-device compiled-flops report.
+    Callable from tests (conftest already forces the virtual-CPU mesh)."""
     import time
 
     import jax
@@ -80,8 +83,8 @@ def _impl(args):
         make_mesh, shard_batch, state_pspecs, use_mesh)
     from fbbev_tpu.train import Trainer
 
-    B = args.batch
-    if args.small:
+    B = batch
+    if small:
         grid = {"x": (-40.0, 40.0, 4.0), "y": (-40.0, 40.0, 4.0),
                 "z": (-1.0, 5.4, 1.6), "depth": (2.0, 42.0, 2.0)}
         C = 32
@@ -116,8 +119,8 @@ def _impl(args):
         lambda s: jnp.zeros(s.shape, s.dtype)
         if hasattr(s, "shape") else s, state_shape)
 
-    report = {"batch": B, "mesh": {"data": args.data, "space": args.space},
-              "small": bool(args.small)}
+    report = {"batch": B, "mesh": {"data": data, "space": space},
+              "small": bool(small)}
 
     def compiled_flops(lowered, label):
         t0 = time.time()
@@ -139,7 +142,7 @@ def _impl(args):
     f_unsharded = compiled_flops(lowered, "unsharded")
 
     # sharded
-    mesh = make_mesh(data=args.data, space=args.space)
+    mesh = make_mesh(data=data, space=space)
     with use_mesh(mesh):
         batch_sh = shard_batch(batch, mesh)
         tstate_sh = jax.device_put(
@@ -153,7 +156,12 @@ def _impl(args):
         f_sharded = compiled_flops(lowered_sh, "sharded_per_device")
 
     report["per_device_ratio"] = round(f_sharded / f_unsharded, 4)
-    report["ideal_ratio"] = round(1.0 / (args.data * args.space), 4)
+    report["ideal_ratio"] = round(1.0 / (data * space), 4)
+    return report
+
+
+def _impl(args):
+    report = measure(args.data, args.space, args.batch, args.small)
     print(json.dumps({k: report[k] for k in
                       ("per_device_ratio", "ideal_ratio")}), flush=True)
     with open(args.out, "w") as f:

@@ -142,12 +142,14 @@ def main():
         meta = dict(start_of_sequence=batch["start_of_sequence"],
                     sequence_group_idx=batch["sequence_group_idx"],
                     curr_to_prev_ego_rt=batch["curr_to_prev_ego_rt"])
+        if os.environ.get("FBBEV_INT8") == "1":
+            pipe.enable_int8([np.asarray(batch["imgs"])], [meta])
 
         @jax.jit
-        def fn(v, im, m, st):
+        def fn(v, im, m, st, qp):
             return pipe._infer_impl(v, im, m, st, pipe.ranks_bev,
-                                    pipe.bwd_terms, pipe.mlp_input)
-        fargs = (variables, batch["imgs"], meta, pipe.state)
+                                    pipe.bwd_terms, pipe.mlp_input, qp)
+        fargs = (variables, batch["imgs"], meta, pipe.state, pipe.qparams)
     else:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
                                         tstate)
