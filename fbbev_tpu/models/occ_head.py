@@ -89,10 +89,25 @@ class OccHead(nn.Module):
             w = jnp.full(outputs[0].shape[:4] + (n_feats,), 1.0 / n_feats)
 
         target_size = outputs[0].shape[1:4]
-        fused = self._fuse_levels(outputs, w, target_size, train)
-
-        y = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
-                   name="pred_conv1")(fused, train)
+        import os
+        if (not train
+                and os.environ.get("FBBEV_OCC_COARSE_PRED", "1") == "1"):
+            # algebraic restructure (eval): pred_conv1 is a 1x1x1 channel
+            # mix, the blend weight is a per-voxel scalar, and the
+            # upsample is spatially linear, so
+            #   conv1(sum_i up_i(f_i) * w_i) == sum_i up_i(conv1(f_i)) * w_i
+            # -- applying the conv per level at COARSE resolution halves
+            # the channels (128 -> 64) flowing through the full-res
+            # upsample + blend, the occ head's dominant HBM cost
+            # (docs/PERF.md round-4).  BN runs after the sum either way,
+            # so numerics match the reference order exactly.
+            y = _PredConvFused(mid // 2, dtype=self.dtype,
+                               name="pred_conv1")(
+                outputs, w, target_size, train)
+        else:
+            fused = self._fuse_levels(outputs, w, target_size, train)
+            y = ConvBN(mid // 2, 1, padding=0, ndim=3, dtype=self.dtype,
+                       name="pred_conv1")(fused, train)
         from fbbev_tpu.models.layers import (
             _DISABLED_DECOMP as _DD2, _POINTWISE_EVAL_ONLY as _PEO2)
         if "pointwise" in _DD2 or (train and _PEO2):
@@ -140,6 +155,30 @@ class OccHead(nn.Module):
         # single fused expression: one pass over the full-res volumes
         # instead of n_feats accumulate round-trips (docs/PERF.md r2 trace)
         return sum(f * w[..., i:i + 1] for i, f in enumerate(up))
+
+
+class _PredConvFused(nn.Module):
+    """``ConvBN(features, 1, ndim=3)`` (child names conv/bn, so the param
+    tree and checkpoints are identical to the ConvBN it replaces) with the
+    conv pushed through the multi-scale blend: one shared 1x1x1 conv
+    applied per level at its native resolution, then upsample + blend at
+    the reduced channel count, then BN + relu.  Exact: the conv is linear
+    in its input and commutes with the per-voxel scalar weights and the
+    linear upsample; the (identity-folded or live-stat) BN sees the same
+    tensor either way."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, outputs, w, target_size, train: bool):
+        conv = Conv1x1x1Dense(self.features, use_bias=False,
+                              dtype=self.dtype, name="conv")
+        ys = [conv(f) for f in outputs]  # shared params across levels
+        fused = OccHead._fuse_levels(ys, w, target_size, train)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(fused)
+        return nn.relu(y)
 
 
 def downsample_gt_mode_pool(target: jnp.ndarray, ratio: int,

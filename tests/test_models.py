@@ -376,3 +376,23 @@ def test_zoo_lss_2d_equals_3d_zsum(rng):
     out3 = LSSViewTransformer3D(grid, (64, 128), 16)(cam, ctx, depth)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out3.sum(3)),
                                atol=1e-5)
+
+
+def test_occ_head_coarse_pred_equivalence(monkeypatch):
+    """FBBEV_OCC_COARSE_PRED pushes pred_conv1 through the blend
+    (conv1(sum up(f_i) w_i) == sum up(conv1(f_i)) w_i) and must match the
+    reference-ordered path to float tolerance, in eval AND vs the train
+    path on the same params."""
+    rng = np.random.RandomState(7)
+    feats = [jnp.asarray(rng.randn(1, s, s, z, 32).astype(np.float32))
+             for s, z in ((40, 8), (20, 4), (10, 2))]
+    head = OccHead(in_channels=(32, 32, 32), out_channel=19)
+    monkeypatch.setenv("FBBEV_OCC_COARSE_PRED", "1")
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    fast = head.apply(variables, feats)
+    monkeypatch.setenv("FBBEV_OCC_COARSE_PRED", "0")
+    ref = head.apply(variables, feats)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-4)
+    # param tree is ConvBN-compatible (conv/bn children under pred_conv1)
+    assert set(variables["params"]["pred_conv1"]) == {"conv", "bn"}
