@@ -90,12 +90,6 @@ def main():
                                          train=False)
         return outputs["occ_logits"].argmax(-1), new_state
 
-    # warmup / compile.  NOTE: on the axon TPU tunnel block_until_ready
-    # does not actually block; a device->host transfer is the only
-    # reliable sync, so timing sections end with np.asarray(...).
-    pred, state = infer(variables, batch0, state)
-    np.asarray(pred)
-
     # pre-stage distinct frames on device (host->device copy amortised,
     # exactly like the per-frame-dispatch version of this bench)
     staged = [make_batch(i + 1, False) for i in range(4)]
@@ -135,11 +129,24 @@ def main():
         if os.environ.get("FBBEV_INT8") == "1":
             # static int8 PTQ for the serving convs (the reference ships
             # reduced-precision deploy engines the same way: TensorRT
-            # FP16/INT8 rows, deployment/README.md).  Calibrated on the
-            # staged frames; fidelity priced by tools/fidelity.py --int8.
-            pipe.enable_int8(
-                [np.asarray(b["imgs"]) for b in (batch0, staged[0])],
-                [meta_of(b) for b in (batch0, staged[0])])
+            # FP16/INT8 rows, deployment/README.md).  Calibration is an
+            # offline step (the analogue of TRT engine calibration): its
+            # full-model stats pass compiles a second graph, so the
+            # activation scales are cached on disk and reused.
+            scales_path = os.environ.get("FBBEV_INT8_SCALES",
+                                         "/tmp/fbbev_int8_scales.json")
+            if os.path.exists(scales_path):
+                from fbbev_tpu.utils import quantize as Q
+                with open(scales_path) as f:
+                    scales = json.load(f)
+                pipe.qparams = Q.build_qparams(variables, scales)
+            else:
+                pipe.enable_int8(
+                    [np.asarray(b["imgs"]) for b in (batch0, staged[0])],
+                    [meta_of(b) for b in (batch0, staged[0])])
+                from fbbev_tpu.utils import quantize as Q
+                with open(scales_path, "w") as f:
+                    json.dump(pipe._int8_scales, f)
 
         @jax.jit
         def serve_stream(variables, frames, state, qparams):
@@ -168,7 +175,11 @@ def main():
         dt = (time.perf_counter() - t0) / (rounds * CHUNK)
     elif mode == "stream":
         # streaming scan over the plain model.apply path (A/B reference
-        # for the serving mode; validated on-chip in round 4)
+        # for the serving mode; validated on-chip in round 4).
+        # NOTE: block_until_ready does not block on the axon tunnel; a
+        # device->host transfer (np.asarray) is the only reliable sync.
+        pred, state = infer(variables, batch0, state)
+        np.asarray(pred)
         frames = jax.tree.map(
             lambda *xs: jnp.stack(xs), *(staged * (CHUNK // len(staged))))
         sums, state = infer_stream(variables, frames, state)
@@ -180,6 +191,8 @@ def main():
         np.asarray(sums)
         dt = (time.perf_counter() - t0) / (rounds * CHUNK)
     else:
+        pred, state = infer(variables, batch0, state)
+        np.asarray(pred)
         for b in staged:
             pred, state = infer(variables, b, state)
         np.asarray(pred)

@@ -139,6 +139,12 @@ class OccHead(nn.Module):
                     and (jax.default_backend() == "tpu"
                          or os.environ.get("FBBEV_FORCE_OCCFUSE")
                          == "interpret")
+                    # Mosaic rejects the kernel's lerp-phase reshape when
+                    # the channel dim is not lane-full (C=64 via the
+                    # coarse-pred path: "unsupported shape cast",
+                    # docs/ROUND4.md) -- and the kernel measured SLOWER
+                    # in-graph anyway; kept as an opt-in experiment only
+                    and outputs[0].shape[-1] % 128 == 0
                     and all(s[1] and Y % s[1] == 0 and s[2]
                             and X % s[2] == 0 and s[3] and Z % s[3] == 0
                             for s in (f.shape for f in outputs)))

@@ -152,6 +152,7 @@ class FixedRigPipeline:
         from fbbev_tpu.utils import quantize as Q
         kw = {} if exclude is None else {"exclude": exclude}
         scales = Q.calibrate_serving(self, calib_frames, calib_metas)
+        self._int8_scales = scales  # reusable offline artifact
         self.qparams = Q.build_qparams(self.variables, scales, **kw)
         return self.qparams
 
