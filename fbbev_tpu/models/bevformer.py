@@ -176,7 +176,8 @@ class DepthAwareDeformableAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, value, ref_points, spatial_shape,
-                 query_depth_onehot, pred_depth, train: bool = False):
+                 query_depth_onehot, pred_depth, train: bool = False,
+                 depth_sample_mat=None):
         """Args:
           query: (B', Q, C)  where B' folds (batch, camera).
           value: (B', V, C) flattened camera features.
@@ -184,6 +185,9 @@ class DepthAwareDeformableAttention(nn.Module):
           spatial_shape: (H, W) of the camera feature map.
           query_depth_onehot: (B', Q, Z, DC) one-hot depth bin per anchor.
           pred_depth: (B', V, DC) per-pixel predicted depth distribution.
+          depth_sample_mat: optional (B', Q*Z, H*W) static bilinear matrix
+            (rig-static serving hoist) replacing the in-graph one-hot
+            sampling of ``pred_depth`` at the reference points.
 
         Returns: (B', Q, C).
         """
@@ -218,13 +222,21 @@ class DepthAwareDeformableAttention(nn.Module):
         # distribution at each z-anchor's reference point, dot with the
         # query's depth-bin one-hot -> scalar weight per (query, anchor).
         DC = pred_depth.shape[-1]
-        # K=1 f32 depth sampling stays on the XLA one-hot path: the Pallas
-        # kernel measured neutral-to-slower here (bench 20.56 -> 20.11),
-        # unlike the K=64 bf16 main attend where it wins ~2 ms.
-        depth_at_ref = bilinear_sample_onehot(
-            pred_depth.astype(jnp.float32), (H, W),
-            ref_points.reshape(Bp, Q * Z, 2),
-            remat=self.remat).reshape(Bp, Q, Z, DC)
+        if depth_sample_mat is not None:
+            # rig-static serving hoist: one MXU matmul against the
+            # precomputed interpolation matrix (bilinear_sample_matrix)
+            depth_at_ref = jnp.einsum(
+                "bsw,bwd->bsd", depth_sample_mat,
+                pred_depth.astype(jnp.float32)).reshape(Bp, Q, Z, DC)
+        else:
+            # K=1 f32 depth sampling stays on the XLA one-hot path: the
+            # Pallas kernel measured neutral-to-slower here (bench
+            # 20.56 -> 20.11), unlike the K=64 bf16 main attend where it
+            # wins ~2 ms.
+            depth_at_ref = bilinear_sample_onehot(
+                pred_depth.astype(jnp.float32), (H, W),
+                ref_points.reshape(Bp, Q * Z, 2),
+                remat=self.remat).reshape(Bp, Q, Z, DC)
         depth_w = jnp.sum(depth_at_ref * query_depth_onehot, -1)  # (B',Q,Z)
         # tile over per-anchor points in (each, Z) order to match `loc`
         depth_w = jnp.tile(depth_w[:, :, None, :], (1, 1, each, 1))
@@ -245,7 +257,8 @@ class DepthAwareDeformableAttention(nn.Module):
 
 def spatial_ca_static_terms(ref_cam, per_cam_mask, query_depth,
                             dbound, num_depth_bins: int,
-                            max_queries_per_cam):
+                            max_queries_per_cam,
+                            depth_sampler_hw=None):
     """Rig-static tensors of the spatial cross attention.
 
     Everything here depends only on camera calibration + grid config —
@@ -262,12 +275,15 @@ def spatial_ca_static_terms(ref_cam, per_cam_mask, query_depth,
       query_depth: (B, N, Q, Z) metric depth of each anchor.
       dbound: (lo, hi, step) depth bin config; num_depth_bins: DC.
       max_queries_per_cam: static rebatch K or None (dense).
+      depth_sampler_hw: (Hf, Wf) to ALSO materialize the dense bilinear
+        depth-sampling matrix (serving-only hoist -- ~270 MB f32 at the
+        flagship K=4096; the in-graph path keeps the one-hot scan).
 
     Returns a dict:
       query_valid (B, N, Q); count (B, Q);
       dense path: ref_cam, depth_onehot (B, N, Q, Z, DC);
       rebatch path: idx (B, N, K), sel_valid, ref_k (B, N, K, Z, 2),
-        oh_k (B, N, K, Z, DC).
+        oh_k (B, N, K, Z, DC); optional dsmat (B, N, K*Z, Hf*Wf).
     """
     B, N, Q, Z, _ = ref_cam.shape
     DC = num_depth_bins
@@ -285,6 +301,10 @@ def spatial_ca_static_terms(ref_cam, per_cam_mask, query_depth,
     if K is None or K >= Q:
         terms["ref_cam"] = ref_cam
         terms["depth_onehot"] = _onehot(query_depth)
+        if depth_sampler_hw is not None:
+            from fbbev_tpu.ops.deform_attn import bilinear_sample_matrix
+            terms["dsmat"] = bilinear_sample_matrix(
+                ref_cam.reshape(B, N, Q * Z, 2), depth_sampler_hw)
     else:
         # compact visible query ids to the front (stable), pad to K —
         # the TRT-export rebatch with a compile-time max_len
@@ -298,6 +318,10 @@ def spatial_ca_static_terms(ref_cam, per_cam_mask, query_depth,
         # but over K instead of Q rows
         terms["oh_k"] = _onehot(jnp.take_along_axis(
             query_depth, idx[..., None], axis=2))
+        if depth_sampler_hw is not None:
+            from fbbev_tpu.ops.deform_attn import bilinear_sample_matrix
+            terms["dsmat"] = bilinear_sample_matrix(
+                terms["ref_k"].reshape(B, N, K * Z, 2), depth_sampler_hw)
     return terms
 
 
@@ -374,7 +398,11 @@ class DepthAwareSpatialCrossAttention(nn.Module):
                 B * N, Q, C)
             ref = t["ref_cam"].reshape(B * N, Q, Z, 2)
             oh = t["depth_onehot"].reshape(B * N, Q, Z, DC)
-            out = attention(qd, value, ref, (Hf, Wf), oh, pd, train)
+            dsm = t.get("dsmat")
+            if dsm is not None:
+                dsm = dsm.reshape(B * N, Q * Z, Hf * Wf)
+            out = attention(qd, value, ref, (Hf, Wf), oh, pd, train,
+                            depth_sample_mat=dsm)
             out = out.reshape(B, N, Q, C)
             slots = jnp.sum(out * query_valid[..., None], axis=1)
             from fbbev_tpu.parallel import pshard
@@ -387,7 +415,11 @@ class DepthAwareSpatialCrossAttention(nn.Module):
                 idx[..., None], axis=2).reshape(B * N, K, C)
             ref = t["ref_k"].reshape(B * N, K, Z, 2)
             oh = t["oh_k"].reshape(B * N, K, Z, DC)
-            out = attention(qd, value, ref, (Hf, Wf), oh, pd, train)
+            dsm = t.get("dsmat")
+            if dsm is not None:
+                dsm = dsm.reshape(B * N, K * Z, Hf * Wf)
+            out = attention(qd, value, ref, (Hf, Wf), oh, pd, train,
+                            depth_sample_mat=dsm)
             out = out.reshape(B, N, K, C) * sel_valid[..., None]
             # scatter-add back to the full query set
             seg = (jnp.arange(B)[:, None, None] * Q + idx).reshape(-1)
@@ -523,17 +555,20 @@ class BackwardProjection(nn.Module):
                 depth.reshape(B, N, Q, Z))
 
     def static_terms(self, cam: geometry.CamParams,
-                     num_depth_bins: int = None):
+                     num_depth_bins: int = None, feat_hw=None):
         """Precompute every rig-static tensor of this head for a fixed
         calibrated rig (the serving-path hoist; cf. ``fbocc_trt.py:42-76``).
-        Plain method — safe to call on an unbound module."""
+        Plain method — safe to call on an unbound module.  ``feat_hw``
+        (Hf, Wf) additionally materializes the dense depth-sampling
+        matrix (see ``spatial_ca_static_terms``)."""
         if num_depth_bins is None:
             lo, hi, step = self.dbound
             num_depth_bins = int(round((hi - lo) / step))
         ref_cam, per_cam_mask, query_depth = self._projected_anchors(cam)
         return spatial_ca_static_terms(
             ref_cam, per_cam_mask, query_depth, self.dbound,
-            num_depth_bins, self.max_queries_per_cam)
+            num_depth_bins, self.max_queries_per_cam,
+            depth_sampler_hw=feat_hw)
 
     @nn.compact
     def __call__(self, cam_feats, lss_bev, cam: geometry.CamParams,

@@ -93,6 +93,32 @@ def bilinear_sample_onehot(value: jnp.ndarray, spatial_shape: Tuple[int, int],
     return out[:, :S]
 
 
+def bilinear_sample_matrix(loc: jnp.ndarray,
+                           spatial_shape: Tuple[int, int],
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """Dense (B, S, H*W) bilinear interpolation matrix for STATIC
+    sampling locations, so ``sample = mat @ value`` is one MXU matmul.
+
+    The serving-path hoist of :func:`bilinear_sample_onehot`: on a fixed
+    rig the reference points are calibration constants
+    (``fbocc_trt.py:42-76``), so the 4-tap interpolation matrix is a
+    constant too -- precomputed once by ``spatial_ca_static_terms`` and
+    fed to the jitted step as a device input instead of being rebuilt by
+    the one-hot scan every frame (~2.9 ms/frame, docs/PERF.md round-4).
+    Numerics match :func:`bilinear_sample_onehot` (same corner math).
+    """
+    H, W = spatial_shape
+    HW = H * W
+    corners = _bilinear_corners(loc, H, W)
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, loc.shape[:-1] + (HW,), loc.ndim - 1)
+    mat = jnp.zeros(loc.shape[:-1] + (HW,), dtype)
+    for idx, w in corners:
+        mat = mat + ((iota == idx[..., None])
+                     * w[..., None]).astype(dtype)
+    return mat
+
+
 def deformable_sample_attend(value: jnp.ndarray,
                              spatial_shape: Tuple[int, int],
                              loc: jnp.ndarray, attn: jnp.ndarray,

@@ -43,10 +43,13 @@ class FixedRigPipeline:
         self.bwd_terms = None
         if model.use_backward_projection:
             from fbbev_tpu.models.fbocc import make_backward_projection
+            feat_hw = (model.input_size[0] // model.downsample,
+                       model.input_size[1] // model.downsample)
             self.bwd_terms = jax.tree.map(
                 jnp.asarray,
                 make_backward_projection(model).static_terms(
-                    self.cam, num_depth_bins=model.depth_channels))
+                    self.cam, num_depth_bins=model.depth_channels,
+                    feat_hw=feat_hw))
         # camera MLP vector is rig-static too (depth_net.py:369-393)
         from fbbev_tpu.models import depth_net as dn
         self.mlp_input = jnp.asarray(dn.get_mlp_input(self.cam))

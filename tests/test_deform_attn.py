@@ -61,6 +61,23 @@ def test_bilinear_sample_onehot_matches_gather(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_bilinear_sample_matrix_matches_onehot(rng):
+    """The rig-static dense interpolation matrix (serving hoist) must
+    reproduce bilinear_sample_onehot exactly: mat @ value == sample."""
+    import jax.numpy as jnp
+    from fbbev_tpu.ops.deform_attn import (
+        bilinear_sample_matrix, bilinear_sample_onehot)
+    B, H, W, C, S = 2, 5, 8, 6, 37
+    value = rng.randn(B, H * W, C).astype(np.float32)
+    loc = (rng.rand(B, S, 2) * 1.3 - 0.15).astype(np.float32)
+    mat = bilinear_sample_matrix(jnp.asarray(loc), (H, W))
+    assert mat.shape == (B, S, H * W)
+    ours = np.asarray(jnp.einsum("bsw,bwc->bsc", mat, jnp.asarray(value)))
+    ref = np.asarray(bilinear_sample_onehot(
+        jnp.asarray(value), (H, W), jnp.asarray(loc), chunk=16))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_deformable_sample_attend_matches_msda(rng):
     import jax.numpy as jnp
     from fbbev_tpu.ops.deform_attn import (
