@@ -148,12 +148,17 @@ def main():
                 with open(scales_path, "w") as f:
                     json.dump(pipe._int8_scales, f)
 
+        # rig-static terms (ranks / bwd-proj geometry / depth-sampling
+        # matrix / camera MLP vector) MUST be jit ARGUMENTS: closed-over
+        # arrays are embedded in the HLO as literals, and the ~270 MB
+        # dsmat blows the remote-compile request limit (HTTP 413).
         @jax.jit
-        def serve_stream(variables, frames, state, qparams):
+        def serve_stream(variables, frames, state, ranks_bev, bwd_terms,
+                         mlp_input, qparams):
             def body(st, fr):
                 pred, st = pipe._infer_impl(
-                    variables, fr["imgs"], fr["meta"], st, pipe.ranks_bev,
-                    pipe.bwd_terms, pipe.mlp_input, qparams)
+                    variables, fr["imgs"], fr["meta"], st, ranks_bev,
+                    bwd_terms, mlp_input, qparams)
                 return st, jnp.sum(pred)
             st, sums = jax.lax.scan(body, state, frames)
             return sums, st
@@ -164,13 +169,15 @@ def main():
               for b in (staged * (CHUNK // len(staged)))])
         sstate = pipe.state
         sums, sstate = serve_stream(variables, frames, sstate,
-                                    pipe.qparams)
+                                    pipe.ranks_bev, pipe.bwd_terms,
+                                    pipe.mlp_input, pipe.qparams)
         np.asarray(sums)
         rounds = 2
         t0 = time.perf_counter()
         for _ in range(rounds):
             sums, sstate = serve_stream(variables, frames, sstate,
-                                        pipe.qparams)
+                                        pipe.ranks_bev, pipe.bwd_terms,
+                                        pipe.mlp_input, pipe.qparams)
         np.asarray(sums)
         dt = (time.perf_counter() - t0) / (rounds * CHUNK)
     elif mode == "stream":

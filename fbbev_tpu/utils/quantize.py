@@ -101,20 +101,25 @@ def calibrate_serving(pipe, frames: Sequence[np.ndarray],
     model, variables = pipe.model, pipe.variables
     state = pipe.state
 
+    # rig-static terms must be jit ARGUMENTS: closed-over arrays are
+    # embedded in the HLO as literals and the ~270 MB depth-sampling
+    # matrix overflows the remote-compile request (HTTP 413).
     @jax.jit
-    def step(variables, imgs, meta, state):
+    def step(variables, imgs, meta, state, ranks_bev, bwd_terms,
+             mlp_input):
         with collect_scales():
             (pred, new_state), stats = model.apply(
                 variables,
                 lambda mdl: pipe._fwd(mdl, imgs, meta, state,
-                                      pipe.ranks_bev, pipe.bwd_terms,
-                                      pipe.mlp_input),
+                                      ranks_bev, bwd_terms, mlp_input),
                 method=_run_bound, mutable=[_QCOLL])
         return new_state, stats[_QCOLL]
 
     merged: Dict[str, float] = {}
     for imgs, meta in zip(frames, metas):
-        state, stats = step(variables, jnp.asarray(imgs), meta, state)
+        state, stats = step(variables, jnp.asarray(imgs), meta, state,
+                            pipe.ranks_bev, pipe.bwd_terms,
+                            pipe.mlp_input)
         for k, v in scales_from_stats(stats).items():
             merged[k] = max(merged.get(k, 0.0), v)
     return merged

@@ -145,11 +145,15 @@ def main():
         if os.environ.get("FBBEV_INT8") == "1":
             pipe.enable_int8([np.asarray(batch["imgs"])], [meta])
 
+        # rig-static terms as ARGUMENTS (not closure): closed-over arrays
+        # become HLO literals and the ~270 MB dsmat overflows the remote
+        # compile request (HTTP 413)
         @jax.jit
-        def fn(v, im, m, st, qp):
-            return pipe._infer_impl(v, im, m, st, pipe.ranks_bev,
-                                    pipe.bwd_terms, pipe.mlp_input, qp)
-        fargs = (variables, batch["imgs"], meta, pipe.state, pipe.qparams)
+        def fn(v, im, m, st, rb, bt, mi, qp):
+            return pipe._infer_impl(v, im, m, st, rb, bt, mi, qp)
+        fargs = (variables, batch["imgs"], meta, pipe.state,
+                 pipe.ranks_bev, pipe.bwd_terms, pipe.mlp_input,
+                 pipe.qparams)
     else:
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch,
                                         tstate)
