@@ -532,6 +532,54 @@ def _upsample_int_axis(x, axis: int, s: int):
     return out.reshape(shape)
 
 
+def _upsample_int_3d(x, rs):
+    """One-pass exact integer-factor trilinear upsample of all three
+    spatial axes of (B, D, H, W, C) (align_corners=False, half-pixel
+    centres, edge clamp) -- same math as chaining
+    :func:`_upsample_int_axis` per axis, but every phase volume is a
+    separable 2-tap lerp over ONE edge-padded copy and the full-res
+    volume is written once: the per-axis chain writes ~1.75x the output
+    volume for 2x factors (0.25 + 0.5 + 1.0), which showed up as ~3 ms
+    of stack/interleave in the serving occ-head profile
+    (docs/ROUND4.md session 4)."""
+    import jax
+
+    B, D, H, W, C = x.shape
+    rd, rh, rw = rs
+
+    def taps(r):
+        # phase k samples input coordinate (k + .5)/r - .5 = i0 + w1
+        out = []
+        for k in range(r):
+            c = (k + 0.5) / r - 0.5
+            i0 = -1 if c < 0 else 0
+            out.append((i0, c - i0))
+        return out
+
+    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+    def lerp(v, axis, n, i0, w1):
+        lo = jax.lax.slice_in_dim(v, 1 + i0, 1 + i0 + n, axis=axis)
+        hi = jax.lax.slice_in_dim(v, 2 + i0, 2 + i0 + n, axis=axis)
+        if w1 == 0.0:
+            return lo
+        return (1.0 - w1) * lo + w1 * hi
+
+    # separable factorisation: rd D-lerps, then rd*rh H-lerps, then
+    # rd*rh*rw W-lerps; XLA fuses the whole DAG into one output pass
+    phases = []
+    for (id0, wd) in taps(rd):
+        xd = lerp(xe, 1, D, id0, wd)
+        for (ih0, wh) in taps(rh):
+            xdh = lerp(xd, 2, H, ih0, wh)
+            for (iw0, ww) in taps(rw):
+                phases.append(lerp(xdh, 3, W, iw0, ww))
+    out = jnp.stack(phases, axis=4)                # (B, D, H, W, P, C)
+    out = out.reshape(B, D, H, W, rd, rh, rw, C)
+    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3, 6, 7))
+    return out.reshape(B, D * rd, H * rh, W * rw, C)
+
+
 def resize_trilinear(x, out_dhw, align_corners: bool = False):
     """3D trilinear resize for (B, D, H, W, C)."""
     import jax
@@ -542,6 +590,9 @@ def resize_trilinear(x, out_dhw, align_corners: bool = False):
         ratios = [o // i if o % i == 0 else 0
                   for o, i in zip((od, oh, ow), x.shape[1:4])]
         if all(r >= 1 for r in ratios):
+            import os
+            if os.environ.get("FBBEV_UPSAMPLE3D", "axis") == "onepass":
+                return _upsample_int_3d(x, ratios)
             # innermost (sublane-adjacent) axis first, while its volume is
             # smallest; the leading-axis interleave is a free reshape
             for ax, r in sorted(zip((1, 2, 3), ratios), reverse=True):

@@ -59,13 +59,16 @@ class OccHead(nn.Module):
                               epsilon=1e-5, dtype=self.dtype,
                               name="deblock_bn")(x0)
             outputs.append(nn.relu(x0))
-        # FBBEV_OCCHEAD_CONV3D: per-head 3x3x3 impl override ("zfold" /
-        # "native") -- the occfuse Pallas kernel faults the v5e worker
-        # when a z-slab decomposed conv shares its graph (docs/ROUND4.md
-        # bisect), so the head can route around z-slab locally while the
-        # 3D encoder keeps the cheaper decomposition.
+        # FBBEV_OCCHEAD_CONV3D: per-head 3x3x3 impl ("zslab" / "zfold" /
+        # "native").  Default ZFold since the round-4 on-chip A/B: at the
+        # head's coarse multi-level shapes the single-conv z-banded
+        # formulation beats the z-slab decomposition by ~1.8 ms/frame
+        # (26.68 -> 28.04 fps, docs/ROUND4.md session 3) -- z-slab remains
+        # the right choice for the 3D encoder's deeper stack.  Param
+        # layouts are nn.Conv-compatible for all three, so checkpoints
+        # are unaffected by the routing.
         import os
-        occ_impl = os.environ.get("FBBEV_OCCHEAD_CONV3D") or None
+        occ_impl = os.environ.get("FBBEV_OCCHEAD_CONV3D") or "zfold"
         for i in range(self.num_level):
             outputs.append(
                 ConvBN(mid, 3, padding=1, ndim=3, dtype=self.dtype,

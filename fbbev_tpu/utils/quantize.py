@@ -46,9 +46,11 @@ def _path_str(module: nn.Module) -> str:
 
 
 def _eligible(module: nn.Module, method: str) -> bool:
-    from fbbev_tpu.models.layers import Conv1x1x1Dense, Conv3DZSlab
+    from fbbev_tpu.models.layers import (Conv1x1x1Dense, Conv3DZFold,
+                                         Conv3DZSlab)
     return (method == "__call__"
-            and isinstance(module, (nn.Conv, Conv3DZSlab, Conv1x1x1Dense)))
+            and isinstance(module, (nn.Conv, Conv3DZSlab, Conv3DZFold,
+                                    Conv1x1x1Dense)))
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +274,37 @@ def _quant_zslab(m, qp, x):
     return y.astype(_out_dtype(m, x))
 
 
+def _quant_zfold(m, qp, x):
+    # int8 re-derivation of Conv3DZFold (models/layers.py:186): build the
+    # z-banded (3, 3, Z*Cin, Zo*Cout) block kernel from the ALREADY
+    # int8-quantized weights (off-band entries are exact zeros, so the
+    # banding preserves the per-out-channel scales), run ONE int8 2D
+    # conv accumulating in int32, dequantize per out-channel after
+    # unfolding z back out of the channel dim.
+    B, Y, X, Z, Cin = x.shape
+    Co = m.features
+    s = m.strides
+    Zo = (Z + 2 - 3) // s + 1
+    zi = jnp.arange(Z)
+    zo = jnp.arange(Zo) * s
+    dz = zi[None, :] - zo[:, None] + 1          # (Zo, Z)
+    mask = (dz >= 0) & (dz < 3)
+    Kz = jnp.take(qp["w_q"], jnp.clip(dz, 0, 2), axis=2)  # (3,3,Zo,Z,Ci,Co)
+    Kz = Kz * mask[None, None, :, :, None, None].astype(jnp.int8)
+    K2 = jnp.transpose(Kz, (0, 1, 3, 4, 2, 5)).reshape(
+        3, 3, Z * Cin, Zo * Co)
+    xq = _quantize_act(x, qp["s_x"]).reshape(B, Y, X, Z * Cin)
+    y2 = jax.lax.conv_general_dilated(
+        xq, K2, (s, s), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = y2.reshape(B, y2.shape[1], y2.shape[2], Zo, Co)
+    y = y.astype(jnp.float32) * (qp["s_x"] * qp["s_w"])
+    if qp["b"] is not None:
+        y = y + qp["b"]
+    return y.astype(_out_dtype(m, x))
+
+
 def _quant_pointwise(m, qp, x):
     if m.strides != 1:
         s = m.strides
@@ -296,7 +329,8 @@ def quantized_calls(qparams: Optional[Dict[str, Dict[str, Any]]]):
         yield
         return
 
-    from fbbev_tpu.models.layers import Conv1x1x1Dense, Conv3DZSlab
+    from fbbev_tpu.models.layers import (Conv1x1x1Dense, Conv3DZFold,
+                                         Conv3DZSlab)
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
@@ -305,6 +339,8 @@ def quantized_calls(qparams: Optional[Dict[str, Dict[str, Any]]]):
             if qp is not None:
                 if isinstance(m, Conv3DZSlab):
                     return _quant_zslab(m, qp, args[0])
+                if isinstance(m, Conv3DZFold):
+                    return _quant_zfold(m, qp, args[0])
                 if isinstance(m, Conv1x1x1Dense):
                     return _quant_pointwise(m, qp, args[0])
                 return _quant_nn_conv(m, qp, args[0])

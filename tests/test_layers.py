@@ -77,6 +77,33 @@ def test_resize_trilinear_vs_torch(rng):
         np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"ac={ac}")
 
 
+def test_upsample_onepass_matches_axis_chain(rng):
+    """The one-pass 3D integer upsample (FBBEV_UPSAMPLE3D=onepass) is the
+    same math as the per-axis chain -- exact equality across mixed
+    factors, including the occ head's 1x (deblock level) and 4x (coarse
+    level) cases, and the torch trilinear oracle."""
+    import torch
+    import torch.nn.functional as F
+    from fbbev_tpu.models.layers import _upsample_int_3d, _upsample_int_axis
+
+    x = rng.randn(2, 4, 5, 3, 6).astype(np.float32)
+    for rs in [(2, 2, 2), (1, 2, 4), (4, 4, 2), (1, 1, 1), (3, 1, 2)]:
+        got = np.asarray(_upsample_int_3d(jnp.asarray(x), rs))
+        ref = jnp.asarray(x)
+        for ax, r in sorted(zip((1, 2, 3), rs), reverse=True):
+            if r > 1:
+                ref = _upsample_int_axis(ref, ax, r)
+        np.testing.assert_allclose(got, np.asarray(ref), atol=1e-6,
+                                   err_msg=f"rs={rs}")
+        out_dhw = tuple(int(s * r) for s, r in zip(x.shape[1:4], rs))
+        oracle = F.interpolate(
+            torch.from_numpy(x).permute(0, 4, 1, 2, 3), size=out_dhw,
+            mode="trilinear", align_corners=False,
+        ).permute(0, 2, 3, 4, 1).numpy()
+        np.testing.assert_allclose(got, oracle, atol=1e-5,
+                                   err_msg=f"rs={rs}")
+
+
 def test_conv3d_zslab_matches_nn_conv(rng):
     """The z-slab 2D decomposition must match XLA's native 3D conv for
     stride 1 and stride 2."""

@@ -70,6 +70,43 @@ def test_quantized_outputs_close(tiny):
         assert err < 0.05 * scale, (err, scale)
 
 
+@pytest.mark.parametrize("stride", [1, 2])
+def test_quantized_zfold_matches_zslab_int8(stride):
+    """Conv3DZFold int8: the z-banded folded kernel built from the
+    int8-quantized weights computes the SAME int32 accumulation as the
+    z-slab int8 decomposition (identical param layout, identical
+    quantization points), so the two quantized paths agree bit-exactly
+    and both track the f32 forward."""
+    from fbbev_tpu.models.layers import Conv3DZFold
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 6, 6, 5, 4).astype(np.float32))
+    fold = Conv3DZFold(6, strides=stride, use_bias=True)
+    variables = fold.init(jax.random.PRNGKey(1), x)
+    k = np.asarray(variables["params"]["kernel"], np.float32)
+    s_w = np.abs(k).max(axis=(0, 1, 2, 3)) / 127.0
+    absmax = float(np.abs(np.asarray(x)).max())
+    qp = {"": {
+        "w_q": jnp.asarray(np.clip(np.round(k / s_w), -127, 127),
+                           jnp.int8),
+        "s_w": jnp.asarray(s_w.astype(np.float32)),
+        "s_x": jnp.float32(absmax / 127.0),
+        "b": jnp.asarray(np.asarray(variables["params"]["bias"],
+                                    np.float32)),
+    }}
+    ref = np.asarray(fold.apply(variables, x))
+    with Q.quantized_calls(qp):
+        got = np.asarray(fold.apply(variables, x))
+    err = np.abs(ref - got).max()
+    assert 0 < err < 0.05 * np.abs(ref).max(), err
+
+    # same weights through the z-slab int8 path (shared param layout)
+    slab = Conv3DZSlab(6, strides=stride, use_bias=True)
+    with Q.quantized_calls(qp):
+        got_slab = np.asarray(slab.apply(variables, x))
+    np.testing.assert_allclose(got, got_slab, rtol=0, atol=1e-5)
+
+
 def test_quantized_grouped_strided_conv():
     """nn.Conv attribute plumbing: strides, padding, groups, dilation."""
     rng = np.random.RandomState(1)

@@ -20,7 +20,13 @@ import time
 # mode IS serving with the Pallas pool + fused warp; combos below opt
 # pieces OUT (or select other modes) relative to that.
 COMBOS = [
-    ("default", {}),  # serving + pallas pool + fused warp
+    ("default", {}),  # serving + pallas pool + fused warp + int8 PTQ
+    # int8-default-era A/Bs (round 4 session 4): head-conv impl under
+    # int8 (zfold head convs are int8-eligible since _quant_zfold), and
+    # the no-int8 reference point
+    ("int8-zslabhead", {"FBBEV_OCCHEAD_CONV3D": "zslab"}),
+    ("int8-nativehead", {"FBBEV_OCCHEAD_CONV3D": "native"}),
+    ("noint8", {"FBBEV_INT8": "0"}),
     ("serving-xlapool", {"FBBEV_POOL": "xla"}),
     ("serving-nofusewarp", {"FBBEV_FUSE_WARP": "0"}),
     ("stream", {"FBBEV_BENCH_MODE": "stream"}),
