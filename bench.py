@@ -127,6 +127,12 @@ def main():
                         curr_to_prev_ego_rt=b["curr_to_prev_ego_rt"])
 
         if os.environ.get("FBBEV_INT8", "1") == "1":
+            # head-conv impl under int8: the z-slab decomposition's int8
+            # formulation (quantize once, 3 int8 2D convs, int32 accum)
+            # beats the int8 z-banded fold at the head's shapes
+            # (28.61 vs 28.20 fps, docs/ROUND4.md session 4); bf16 keeps
+            # the zfold default (28.04 vs 26.68).
+            os.environ.setdefault("FBBEV_OCCHEAD_CONV3D", "zslab")
             # static int8 PTQ for the serving convs (the reference ships
             # reduced-precision deploy engines the same way: TensorRT
             # FP16/INT8 rows, deployment/README.md).  DEFAULT since round

@@ -354,32 +354,66 @@ class FBOCC(nn.Module):
             hsel = jnp.argmax(sweep_r, axis=1).astype(jnp.int32)  # oldest
             hist = jax.lax.stop_gradient(
                 state.history_bev.astype(self.dtype))
-            slots, new_hist = pallas_fuse_warp.fuse_warp(
-                hist, curr_bev, mat, start, hsel, interpret=interpret)
             new_sweep = jnp.where(
                 jnp.arange(T)[None, :] == hsel[:, None], 0.0, sweep_r)
-
-            # time-embedding conv applied to the slots and curr SEPARATELY
-            # (same weights; the (T+1)-frame concat never materialises) --
-            # see the frame-fold note in the fallback branch below
-            frames_s = slots.reshape(B, ny, nx, nz * T, C)
-            temb_s = jnp.broadcast_to(
-                (sweep_r * 0.5)[:, None, :], (B, nz, T)).reshape(
-                B, 1, 1, nz * T, 1)
-            y1_s = self.history_keyframe_time_conv(
-                frames_s, temb_s, train).reshape(B, ny, nx, nz, T * C)
-            y1_c = self.history_keyframe_time_conv(
-                curr_bev, jnp.zeros((B, 1, 1, 1, 1), jnp.float32), train)
-            # cat conv over the split input, weight rows permuted from
-            # ring-slot order back to the reference's age order
+            # cat-conv weight rows permuted from ring-slot order back to
+            # the reference's age order
             ranks = jnp.argsort(jnp.argsort(sweep_r, axis=1,
                                             stable=True), axis=1)
             slot_rows = ((ranks + 1)[:, :, None] * C
                          + jnp.arange(C)[None, None, :]).reshape(B, T * C)
             curr_rows = jnp.broadcast_to(jnp.arange(C)[None, :], (B, C))
-            fused = self.history_keyframe_cat_conv(
-                y1_s, train, perm=slot_rows.astype(jnp.int32),
-                x2=y1_c, perm2=curr_rows.astype(jnp.int32))
+            # time-embedding conv on curr (shared weights with the slots'
+            # time conv; also instantiates conv/bn so the folded terms
+            # below are readable during init)
+            y1_c = self.history_keyframe_time_conv(
+                curr_bev, jnp.zeros((B, 1, 1, 1, 1), jnp.float32), train)
+            if os.environ.get("FBBEV_FUSE_WARP_EPI", "0") == "1":
+                # fused epilogue (docs/ROUND4.md session 4): the warped
+                # slots' time conv (eval BN folded) + their cat-conv
+                # contribution run inside the warp kernel; the 1280-ch
+                # slots tensor and its 1280-ch relu'd image never reach
+                # HBM.  Exact in eval mode (running-stat BN folds into
+                # the conv; tests/test_fuse_warp.py pins the stream).
+                tv = self.history_keyframe_time_conv.variables
+                kf = tv["params"]["conv"]["kernel"].reshape(
+                    C + 1, C).astype(jnp.float32)
+                cbias = tv["params"]["conv"]["bias"].astype(jnp.float32)
+                g = tv["params"]["bn"]["scale"].astype(jnp.float32)
+                beta = tv["params"]["bn"]["bias"].astype(jnp.float32)
+                mu = tv["batch_stats"]["bn"]["mean"].astype(jnp.float32)
+                var = tv["batch_stats"]["bn"]["var"].astype(jnp.float32)
+                s = g * jax.lax.rsqrt(var + 1e-5)
+                epi = dict(kc=kf[:C] * s[None, :], ke=kf[C] * s,
+                           kb=cbias * s + beta - mu * s,
+                           tvec=sweep_r * 0.5)
+
+                def slots_fn(ws):
+                    return pallas_fuse_warp.fuse_warp(
+                        hist, curr_bev, mat, start, hsel,
+                        interpret=interpret,
+                        epilogue=dict(epi, ws=ws))
+
+                fused, new_hist = self.history_keyframe_cat_conv(
+                    T * C, train, perm=slot_rows.astype(jnp.int32),
+                    x2=y1_c, perm2=curr_rows.astype(jnp.int32),
+                    slots_fn=slots_fn)
+            else:
+                slots, new_hist = pallas_fuse_warp.fuse_warp(
+                    hist, curr_bev, mat, start, hsel, interpret=interpret)
+                # time-embedding conv applied to the slots and curr
+                # SEPARATELY (same weights; the (T+1)-frame concat never
+                # materialises) -- see the frame-fold note in the
+                # fallback branch below
+                frames_s = slots.reshape(B, ny, nx, nz * T, C)
+                temb_s = jnp.broadcast_to(
+                    (sweep_r * 0.5)[:, None, :], (B, nz, T)).reshape(
+                    B, 1, 1, nz * T, 1)
+                y1_s = self.history_keyframe_time_conv(
+                    frames_s, temb_s, train).reshape(B, ny, nx, nz, T * C)
+                fused = self.history_keyframe_cat_conv(
+                    y1_s, train, perm=slot_rows.astype(jnp.int32),
+                    x2=y1_c, perm2=curr_rows.astype(jnp.int32))
         else:
             # XLA fallback (training / non-TPU): age-ordered channels,
             # exactly the reference's formulation (fbocc.py:207-319)
@@ -390,6 +424,7 @@ class FBOCC(nn.Module):
                                  state.history_bev.astype(self.dtype))
             hist_zyx = jax.lax.stop_gradient(hist_zyx)
             if (self.use_tiled_warp and not train and on_tpu
+                    and os.environ.get("FBBEV_DISABLE_PALLAS_WARP") != "1"
                     and pallas_warp.supports(hist_zyx.shape)):
                 # standalone Pallas warp (A/B path when the fused kernel
                 # is disabled): exact trilinear tent-product on the MXU

@@ -642,7 +642,25 @@ class _PermRowsPointwiseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, perm=None, x2=None, perm2=None,
-                 force_native: bool = False):
+                 force_native: bool = False, slots_fn=None):
+        if slots_fn is not None:
+            # fused-epilogue path (ops/pallas_fuse_warp.py): the slots'
+            # contribution `slots @ k[perm]` is computed inside the warp
+            # kernel -- slots_fn receives this sample-permuted weight
+            # slice and returns (contribution (B, ..., F) f32, carry).
+            # x is the slots' channel count (the slots tensor itself
+            # never materialises).
+            Cin = int(x) + x2.shape[-1]
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (1, 1, 1, Cin, self.features))
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            k = kernel.reshape(Cin, self.features).astype(self.dtype)
+            part, extra = slots_fn(jnp.take(k, perm, axis=0))
+            y = (part.astype(self.dtype)
+                 + jnp.einsum("b...c,bco->b...o", x2.astype(self.dtype),
+                              k[perm2]))
+            return y + bias.astype(self.dtype), extra
         Cin = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (1, 1, 1, Cin, self.features))
@@ -687,14 +705,19 @@ class RingCatConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, perm=None, x2=None,
-                 perm2=None):
-        y = _PermRowsPointwiseConv(self.features, dtype=self.dtype,
-                                   name="conv")(
-            x, perm, x2, perm2,
-            force_native=train and _POINTWISE_EVAL_ONLY)
+                 perm2=None, slots_fn=None):
+        conv = _PermRowsPointwiseConv(self.features, dtype=self.dtype,
+                                      name="conv")
+        extra = None
+        if slots_fn is not None:
+            y, extra = conv(x, perm, x2, perm2, slots_fn=slots_fn)
+        else:
+            y = conv(x, perm, x2, perm2,
+                     force_native=train and _POINTWISE_EVAL_ONLY)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(y)
-        return nn.relu(y)
+        y = nn.relu(y)
+        return y if extra is None else (y, extra)
 
 
 class TimeEmbedConvBN(nn.Module):

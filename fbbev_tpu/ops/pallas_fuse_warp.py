@@ -116,6 +116,23 @@ def _slab_origin(mat_ref, b, i, j, *, D, H, W):
 def _kernel(mat_ref, start_ref, hsel_ref, hist_ref, curr_ref,
             slots_ref, newh_ref, slabs, sems, *,
             D, H, W, C, CB, NCB, Ht, Wt, NB):
+    _body(mat_ref, start_ref, hsel_ref, hist_ref, curr_ref,
+          slots_ref, newh_ref, slabs, sems, epi=None,
+          D=D, H=H, W=W, C=C, CB=CB, NCB=NCB, Ht=Ht, Wt=Wt, NB=NB)
+
+
+def _kernel_epi(mat_ref, start_ref, hsel_ref, hist_ref, curr_ref,
+                kblk_ref, brow_ref, ws_ref, fused_ref, newh_ref,
+                slabs, sems, *, D, H, W, C, CB, NCB, Ht, Wt, NB):
+    _body(mat_ref, start_ref, hsel_ref, hist_ref, curr_ref,
+          fused_ref, newh_ref, slabs, sems,
+          epi=(kblk_ref, brow_ref, ws_ref),
+          D=D, H=H, W=W, C=C, CB=CB, NCB=NCB, Ht=Ht, Wt=Wt, NB=NB)
+
+
+def _body(mat_ref, start_ref, hsel_ref, hist_ref, curr_ref,
+          slots_ref, newh_ref, slabs, sems, *, epi,
+          D, H, W, C, CB, NCB, Ht, Wt, NB):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -227,8 +244,34 @@ def _kernel(mat_ref, start_ref, hsel_ref, hist_ref, curr_ref,
         newh = (warped * (1.0 - slot_mask_row)
                 + curr_all * slot_mask_row)
 
-        slots_ref[0, 0, :, 0, :, z, :] = warped.reshape(
-            TILE, TILE, CB).astype(slots_ref.dtype)
+        if epi is None:
+            slots_ref[0, 0, :, 0, :, z, :] = warped.reshape(
+                TILE, TILE, CB).astype(slots_ref.dtype)
+        else:
+            # fused epilogue (docs/ROUND4.md session 4): the warped slots
+            # never reach HBM -- the time-embedding conv (BN+relu folded,
+            # block-diagonal over the CB/C slots of this block) and this
+            # block's rows of the cat conv run in VMEM, and only the
+            # F-channel cat contribution is accumulated across the k
+            # (channel-block) grid dimension.
+            kblk_ref, brow_ref, ws_ref = epi
+            k_ = pl.program_id(3)
+            y1 = jnp.dot(warped.astype(kblk_ref.dtype), kblk_ref[...],
+                         preferred_element_type=jnp.float32)
+            y1 = jnp.maximum(y1 + brow_ref[0, 0, :], 0.0)
+            acc = jnp.dot(y1.astype(ws_ref.dtype), ws_ref[0, 0],
+                          preferred_element_type=jnp.float32)
+            F = acc.shape[-1]
+
+            @pl.when(k_ == 0)
+            def _():
+                slots_ref[0, 0, :, 0, :, z, :] = acc.reshape(TILE, TILE, F)
+
+            @pl.when(k_ > 0)
+            def _():
+                slots_ref[0, 0, :, 0, :, z, :] = (
+                    slots_ref[0, 0, :, 0, :, z, :]
+                    + acc.reshape(TILE, TILE, F))
         newh_ref[0, z, 0, :, 0, :, :] = newh.reshape(
             TILE, TILE, CB).astype(newh_ref.dtype)
 
@@ -236,7 +279,7 @@ def _kernel(mat_ref, start_ref, hsel_ref, hist_ref, curr_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
               start: jnp.ndarray, hsel: jnp.ndarray,
-              interpret: bool = False):
+              interpret: bool = False, epilogue=None):
     """Fused history warp + ring update.
 
     Args:
@@ -250,9 +293,20 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
       start: (B,) bool/float -- sequence-start flags (resets every slot to
         ``curr`` before the ring update).
       hsel: (B,) int32 -- ring slot to overwrite with ``curr``.
+      epilogue: optional dict fusing the two pointwise consumers of the
+        warped slots into the kernel (the slots then never reach HBM):
+        ``kc`` (C, C) time-conv weight with eval-BN folded, ``ke`` (C,)
+        its time-embedding row, ``kb`` (C,) its folded bias, ``tvec``
+        (B, T) per-slot time embeddings, ``ws`` (B, T*C, F) cat-conv
+        rows (already permuted to ring-slot order).  The fused output is
+        ``relu(slots_zslot @ kc + tvec*ke + kb) @ ws`` summed over
+        slots -- the slots' contribution to the cat conv, in f32.
 
-    Returns:
+    Returns (no epilogue):
       slots: (B, Y, X, Z, T*C) warped history frames (ring-slot order).
+      new_hist: (B, Z, Y, X, T*C).
+    Returns (epilogue):
+      fused_part: (B, Y, X, Z, F) f32 cat-conv slots contribution.
       new_hist: (B, Z, Y, X, T*C).
     """
     B, Z, Y, X, TC = hist.shape
@@ -277,35 +331,24 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
     hsel_i = hsel.astype(jnp.int32)
 
     curr7 = curr.reshape(B, Ht, TILE, Wt, TILE, Z, C)
-    slots_shape = jax.ShapeDtypeStruct(
-        (B, Ht, TILE, Wt, TILE, Z, TC), curr.dtype)
     newh_shape = jax.ShapeDtypeStruct(
         (B, Z, Ht, TILE, Wt, TILE, TC), hist.dtype)
 
-    kernel = functools.partial(_kernel, D=Z, H=Y, W=Xp, C=C, CB=CB,
-                               NCB=NCB, Ht=Ht, Wt=Wt, NB=B)
     slab_bytes = Z * SLAB_Y * SLAB_X * CB * hist.dtype.itemsize
-    slots, newh = pl.pallas_call(
-        kernel,
-        out_shape=(slots_shape, newh_shape),
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, 1, TILE, 1, TILE, Z, C),
+                     lambda b, i, j, k: (b, i, 0, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    newh_spec = pl.BlockSpec((1, Z, 1, TILE, 1, TILE, CB),
+                             lambda b, i, j, k: (b, 0, i, 0, j, 0, k),
+                             memory_space=pltpu.VMEM)
+    common = dict(
         grid=(B, Ht, Wt, NCB),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, TILE, 1, TILE, Z, C),
-                         lambda b, i, j, k: (b, i, 0, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, TILE, 1, TILE, Z, CB),
-                         lambda b, i, j, k: (b, i, 0, j, 0, 0, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Z, 1, TILE, 1, TILE, CB),
-                         lambda b, i, j, k: (b, 0, i, 0, j, 0, k),
-                         memory_space=pltpu.VMEM),
-        ),
         scratch_shapes=[
             pltpu.VMEM((2, Z, SLAB_Y, SLAB_X, CB), hist.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -316,15 +359,80 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
                                  "arbitrary"),
         ),
+        interpret=interpret,
+    )
+    warp_flops = (2 * B * Ht * Wt * Z * (TILE * TILE)
+                  * (ZBAND * SLAB_Y * SLAB_X + C) * TC)
+    io_bytes = (B * Ht * Wt * NCB * slab_bytes
+                + B * Y * X * Z * TC * curr.dtype.itemsize
+                + B * Y * X * Z * TC * hist.dtype.itemsize)
+
+    if epilogue is not None:
+        F = epilogue["ws"].shape[-1]
+        nslot = CB // C
+        cdt = hist.dtype
+        # block-diagonal time-conv weight over this block's slots; the
+        # per-(sample, block) bias row carries the slot time embeddings
+        kblk = jnp.kron(jnp.eye(nslot, dtype=jnp.float32),
+                        epilogue["kc"].astype(jnp.float32)).astype(cdt)
+        brow = (epilogue["tvec"].astype(jnp.float32)[:, :, None]
+                * epilogue["ke"].astype(jnp.float32)[None, None, :]
+                + epilogue["kb"].astype(jnp.float32)[None, None, :])
+        brow = brow.reshape(B, NCB, CB)
+        ws4 = epilogue["ws"].astype(cdt).reshape(B, NCB, CB, F)
+        fused_shape = jax.ShapeDtypeStruct(
+            (B, Ht, TILE, Wt, TILE, Z, F), jnp.float32)
+        kernel = functools.partial(_kernel_epi, D=Z, H=Y, W=Xp, C=C,
+                                   CB=CB, NCB=NCB, Ht=Ht, Wt=Wt, NB=B)
+        fused, newh = pl.pallas_call(
+            kernel,
+            out_shape=(fused_shape, newh_shape),
+            in_specs=in_specs + [
+                pl.BlockSpec((CB, CB), lambda b, i, j, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, CB), lambda b, i, j, k: (b, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, CB, F), lambda b, i, j, k: (b, k, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, TILE, 1, TILE, Z, F),
+                             lambda b, i, j, k: (b, i, 0, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                newh_spec,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=warp_flops + 2 * B * Ht * Wt * Z * (TILE * TILE)
+                * NCB * CB * (CB + F),
+                bytes_accessed=io_bytes
+                + B * Y * X * Z * F * 4,
+                transcendentals=0,
+            ),
+            **common,
+        )(mrows, start_f, hsel_i, hist, curr7, kblk, brow, ws4)
+        return (fused.reshape(B, Y, X, Z, F),
+                newh.reshape(B, Z, Y, X, TC))
+
+    slots_shape = jax.ShapeDtypeStruct(
+        (B, Ht, TILE, Wt, TILE, Z, TC), curr.dtype)
+    kernel = functools.partial(_kernel, D=Z, H=Y, W=Xp, C=C, CB=CB,
+                               NCB=NCB, Ht=Ht, Wt=Wt, NB=B)
+    slots, newh = pl.pallas_call(
+        kernel,
+        out_shape=(slots_shape, newh_shape),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, TILE, 1, TILE, Z, CB),
+                         lambda b, i, j, k: (b, i, 0, j, 0, 0, k),
+                         memory_space=pltpu.VMEM),
+            newh_spec,
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Ht * Wt * Z * (TILE * TILE)
-            * (ZBAND * SLAB_Y * SLAB_X + C) * TC,
-            bytes_accessed=B * Ht * Wt * NCB * slab_bytes
-            + B * Y * X * Z * TC * curr.dtype.itemsize
-            + B * Y * X * Z * TC * hist.dtype.itemsize,
+            flops=warp_flops,
+            bytes_accessed=io_bytes,
             transcendentals=0,
         ),
-        interpret=interpret,
+        **common,
     )(mrows, start_f, hsel_i, hist, curr7)
     return (slots.reshape(B, Y, X, Z, TC),
             newh.reshape(B, Z, Y, X, TC))

@@ -64,14 +64,20 @@ def _params(model, rng):
     return model.init(jax.random.PRNGKey(0), method=init_run)
 
 
-def _stream(model, variables, currs, force_fused):
+def _stream(model, variables, currs, force_fused, epi=False):
     env_key = "FBBEV_FORCE_FUSE_WARP"
+    epi_key = "FBBEV_FUSE_WARP_EPI"
     old = os.environ.get(env_key)
+    old_epi = os.environ.get(epi_key)
     try:
         if force_fused:
             os.environ[env_key] = "interpret"
         else:
             os.environ.pop(env_key, None)
+        if epi:
+            os.environ[epi_key] = "1"
+        else:
+            os.environ.pop(epi_key, None)
         tstate = init_temporal_state(B, (NX, NY, NZ), T, C)
         outs = []
         for step, curr in enumerate(currs):
@@ -90,6 +96,10 @@ def _stream(model, variables, currs, force_fused):
             os.environ.pop(env_key, None)
         else:
             os.environ[env_key] = old
+        if old_epi is None:
+            os.environ.pop(epi_key, None)
+        else:
+            os.environ[epi_key] = old_epi
 
 
 
@@ -122,6 +132,35 @@ def test_ring_path_matches_age_path():
     g_sorted = np.sort(gh, axis=4)
     np.testing.assert_allclose(g_sorted, r_sorted, atol=2e-4, rtol=2e-3)
 
+
+
+def test_epilogue_fused_matches_age_path():
+    """FBBEV_FUSE_WARP_EPI=1: the in-kernel time-conv (folded eval BN) +
+    cat-conv epilogue must reproduce the XLA fallback's fused output and
+    carry the same history multiset, across ring wrap-around."""
+    rng = np.random.RandomState(2)
+    model = _model()
+    variables = _params(model, rng)
+    bs = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.rand(*x.shape).astype(np.float32) * 0.5 + 0.5),
+        variables.get("batch_stats", {}))
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    currs = [rng.randn(B, NY, NX, NZ, C).astype(np.float32) * 0.3
+             for _ in range(T + 3)]
+    ref, ref_state = _stream(model, variables, currs, force_fused=False)
+    got, got_state = _stream(model, variables, currs, force_fused=True,
+                             epi=True)
+
+    for step, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            g, r, atol=3e-4, rtol=3e-3,
+            err_msg=f"epilogue-fused output diverged at step {step}")
+    rh = np.asarray(ref_state.history_bev).reshape(B, NZ, NY, NX, T, C)
+    gh = np.asarray(got_state.history_bev).reshape(B, NZ, NY, NX, T, C)
+    np.testing.assert_allclose(np.sort(gh, axis=4), np.sort(rh, axis=4),
+                               atol=2e-4, rtol=2e-3)
 
 
 def test_ring_start_reset_mid_stream():
