@@ -142,30 +142,43 @@ def main():
             # offline step (the analogue of TRT engine calibration): its
             # full-model stats pass compiles a second graph, so the
             # activation scales are cached on disk and reused.
-            scales_path = os.environ.get("FBBEV_INT8_SCALES",
-                                         "/tmp/fbbev_int8_scales.json")
-            if not os.path.exists(scales_path):
-                # deterministic for this bench's PRNGKey(0) init: ship the
-                # calibration artifact so a fresh host skips the expensive
-                # calibration compile (TRT engines ship calibration the
-                # same way)
-                asset = os.path.join(
+            from fbbev_tpu.utils import quantize as Q
+            # scale artifacts are keyed by (model, input size, init seed,
+            # quantize-code hash): a stale cache from another config or
+            # code version silently applies wrong per-tensor scales
+            # (ADVICE r4), so key-mismatched files are recalibrated, and
+            # the shipped asset is only a fallback when FBBEV_INT8_SCALES
+            # is UNSET (an explicit override must be honored).
+            cache_key = Q.code_cache_key("flagship", (256, 704), 0)
+            scales_env = os.environ.get("FBBEV_INT8_SCALES")
+            scales_path = scales_env or "/tmp/fbbev_int8_scales.json"
+            candidates = [scales_path]
+            if scales_env is None:
+                # deterministic for this bench's PRNGKey(0) init: the
+                # shipped calibration artifact lets a fresh host skip the
+                # expensive calibration compile (TRT engines ship
+                # calibration the same way)
+                candidates.append(os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
-                    "assets", "int8_scales_flagship_prngkey0.json")
-                if os.path.exists(asset):
-                    scales_path = asset
-            if os.path.exists(scales_path):
-                from fbbev_tpu.utils import quantize as Q
-                with open(scales_path) as f:
-                    scales = json.load(f)
+                    "assets", "int8_scales_flagship_prngkey0.json"))
+            scales = None
+            for cand in candidates:
+                if not os.path.exists(cand):
+                    continue
+                with open(cand) as f:
+                    data = json.load(f)
+                if data.get("key") == cache_key:
+                    scales = data["scales"]
+                    break
+            if scales is not None:
                 pipe.qparams = Q.build_qparams(variables, scales)
             else:
                 pipe.enable_int8(
                     [np.asarray(b["imgs"]) for b in (batch0, staged[0])],
                     [meta_of(b) for b in (batch0, staged[0])])
-                from fbbev_tpu.utils import quantize as Q
                 with open(scales_path, "w") as f:
-                    json.dump(pipe._int8_scales, f)
+                    json.dump({"key": cache_key,
+                               "scales": pipe._int8_scales}, f)
 
         # rig-static terms (ranks / bwd-proj geometry / depth-sampling
         # matrix / camera MLP vector) MUST be jit ARGUMENTS: closed-over

@@ -68,7 +68,12 @@ class OccHead(nn.Module):
         # layouts are nn.Conv-compatible for all three, so checkpoints
         # are unaffected by the routing.
         import os
-        occ_impl = os.environ.get("FBBEV_OCCHEAD_CONV3D") or "zfold"
+        # zfold is a SERVING measurement; training was never A/B'd and
+        # ZFold pays ~Z/3x MACs, so train keeps the global default
+        # (FBBEV_CONV3D env -> z-slab) unless explicitly overridden
+        # (ADVICE r4).
+        occ_impl = (os.environ.get("FBBEV_OCCHEAD_CONV3D")
+                    or (None if train else "zfold"))
         for i in range(self.num_level):
             outputs.append(
                 ConvBN(mid, 3, padding=1, ndim=3, dtype=self.dtype,

@@ -228,7 +228,47 @@ def _out_dtype(m, x):
     return m.dtype if m.dtype is not None else x.dtype
 
 
+def _assert_nn_conv_supported(m: nn.Conv, x):
+    """The int8 formulation replicates only the nn.Conv semantics the
+    serving models actually use; anything else must fail loudly instead
+    of quantizing with silently different semantics (ADVICE r4)."""
+    in_dil = m.input_dilation
+    if in_dil is not None and in_dil != 1 and tuple(
+            (in_dil,) if isinstance(in_dil, int) else in_dil) != (
+            1,) * len(m.kernel_size):
+        raise NotImplementedError(
+            f"int8 conv {_path_str(m)}: input_dilation={in_dil}")
+    if getattr(m, "mask", None) is not None:
+        raise NotImplementedError(f"int8 conv {_path_str(m)}: kernel mask")
+    if isinstance(m.padding, str) and m.padding.upper() == "CIRCULAR":
+        raise NotImplementedError(
+            f"int8 conv {_path_str(m)}: CIRCULAR padding")
+    if m.dtype is None and x.dtype != jnp.float32:
+        # nn.Conv with dtype=None promotes with the f32 params; the int8
+        # path returns x.dtype -- a silent dtype change for non-f32 input.
+        raise NotImplementedError(
+            f"int8 conv {_path_str(m)}: dtype=None promotion "
+            f"with x.dtype={x.dtype}")
+
+
+def code_cache_key(model_size, input_size, seed: int) -> dict:
+    """Key for cached activation-scale artifacts: the scales are only
+    valid for the exact model config, calibration seed, and quantization
+    code that produced them (ADVICE r4: a stale /tmp cache from another
+    run must not silently apply wrong per-tensor scales)."""
+    import hashlib
+    import os as _os
+    src_path = _os.path.abspath(__file__)
+    if src_path.endswith(".pyc"):
+        src_path = src_path[:-1]
+    with open(src_path, "rb") as f:
+        sha = hashlib.sha256(f.read()).hexdigest()[:16]
+    return {"model": str(model_size), "input": list(input_size),
+            "seed": int(seed), "quantize_sha": sha}
+
+
 def _quant_nn_conv(m: nn.Conv, qp, x):
+    _assert_nn_conv_supported(m, x)
     n = len(m.kernel_size)
     strides = m.strides or 1
     if isinstance(strides, int):
