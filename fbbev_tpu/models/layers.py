@@ -341,9 +341,24 @@ class ConvBN(nn.Module):
                 and st[0] in (1, 2)):
             # FBBEV_CONV3D=zfold: single-conv z-banded formulation
             # (composes with Pallas kernels where z-slab faults the v5e
-            # worker, docs/ROUND2.md); default is the z-slab decomposition.
-            # self.impl3d overrides per instance (occfuse bisect).
+            # worker, docs/ROUND2.md).  self.impl3d overrides per
+            # instance (occfuse bisect); FBBEV_CONV3D_S1 / _S2 override
+            # by stride (NaN bisects).
+            #
+            # DEFAULT: stride-1 -> z-slab (fastest measured), stride-2 ->
+            # z-fold.  The stride-2 z-slab formulation MISCOMPILES on
+            # v5e in the flagship eval graph: deterministic NaN voxel
+            # features (~3M f32 logit NaNs/frame, all classes NaN at the
+            # same voxels), CPU clean on the identical graph; routing
+            # only the stride-2 convs to z-fold zeroes it
+            # (docs/ROUND5.md nan_matrix batch 2).  Same miscompile
+            # family as the round-2 worker faults.  Regression probe:
+            # tools/nan_count.py with FBBEV_CONV3D=zslab.
             sel = self.impl3d or os.environ.get("FBBEV_CONV3D")
+            if sel is None:
+                sel = os.environ.get(f"FBBEV_CONV3D_S{st[0]}")
+            if sel is None and st[0] == 2:
+                sel = "zfold"
             impl = Conv3DZFold if sel == "zfold" else Conv3DZSlab
             x = impl(self.features, strides=st[0],
                      use_bias=self.use_bias, dtype=self.dtype,

@@ -227,6 +227,24 @@ def train(cfg: Config, max_iters: Optional[int] = None,
                     sink(m)
             if (i + 1) % ckpt_interval == 0 or i + 1 == total:
                 save_checkpoint(ckpt_dir, state)
+            # mid-training streaming eval (the reference runs
+            # CustomDistEvalHook every ``eval_interval`` iters during
+            # training, occupancy config :359-394): EMA weights, fresh
+            # temporal state, full val sweep (or eval_max_samples)
+            eval_interval = cfg.get("eval_interval")
+            if eval_interval and (i + 1) % eval_interval == 0 \
+                    and i + 1 != total:
+                em = evaluate(cfg, state=state, trainer=trainer,
+                              max_samples=cfg.get("eval_max_samples"),
+                              use_ema=True, work_dir=work_dir)
+                em = {f"val_{k}": v for k, v in em.items()}
+                em["iter"] = i + 1
+                print(json.dumps({k: round(v, 5)
+                                  if isinstance(v, float) else v
+                                  for k, v in em.items()}))
+                for sink in sinks:
+                    sink(em)
+                history.append(em)
             batch = next_batch
     return {"state": state, "history": history, "trainer": trainer,
             "model": model, "mesh": mesh}

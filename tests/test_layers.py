@@ -138,6 +138,26 @@ def test_conv3d_zfold_matches_nn_conv(rng):
                                    atol=1e-5, err_msg=f"stride={stride}")
 
 
+def test_convbn_stride2_routes_to_zfold(rng, monkeypatch):
+    """v5e miscompile workaround (docs/ROUND5.md): with no overrides,
+    ConvBN must route stride-2 3x3x3 convs to Conv3DZFold (the stride-2
+    z-slab formulation produces deterministic NaN voxel features in the
+    flagship eval graph on chip) while stride-1 keeps the faster z-slab
+    decomposition.  Guards the default so the workaround cannot silently
+    regress."""
+    import flax.linen as nn
+    from fbbev_tpu.models.layers import ConvBN
+    for var in ("FBBEV_CONV3D", "FBBEV_CONV3D_S1", "FBBEV_CONV3D_S2"):
+        monkeypatch.delenv(var, raising=False)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4, 6).astype(np.float32))
+    for stride, expect in ((1, "Conv3DZSlab"), (2, "Conv3DZFold")):
+        m = ConvBN(5, 3, strides=stride, padding=1, ndim=3)
+        table = nn.tabulate(m, jax.random.PRNGKey(0))(x, train=False)
+        assert expect in table, f"stride={stride}: expected {expect}"
+        other = "Conv3DZFold" if expect == "Conv3DZSlab" else "Conv3DZSlab"
+        assert other not in table, f"stride={stride}: got {other}"
+
+
 def test_conv1x1x1_dense_matches_nn_conv(rng):
     import flax.linen as nn
     from fbbev_tpu.models.layers import Conv1x1x1Dense

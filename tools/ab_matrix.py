@@ -55,6 +55,13 @@ COMBOS = [
                                  "FBBEV_OCCHEAD_CONV3D": "zfold"}),
     ("serving+occfuse+ocnative", {"FBBEV_OCCFUSE": "1",
                                   "FBBEV_OCCHEAD_CONV3D": "native"}),
+    # round-5: bank the two round-4 built-but-unmeasured opt-ins
+    # (VERDICT r4 weak #5): fuse_warp epilogue fusion and the one-pass
+    # integer 3D upsample
+    ("epi", {"FBBEV_FUSE_WARP_EPI": "1"}),
+    ("onepass", {"FBBEV_UPSAMPLE3D": "onepass"}),
+    ("epi+onepass", {"FBBEV_FUSE_WARP_EPI": "1",
+                     "FBBEV_UPSAMPLE3D": "onepass"}),
 ]
 
 

@@ -54,6 +54,58 @@ def build(size, dtype_name):
     return FBOCC(dtype=dtype), (100, 100, 8)
 
 
+def build_from_config(cfg_path, dtype_name):
+    """Build the model (with the requested compute dtype) + grid from a
+    config file -- the trained-weights fidelity path (VERDICT r4 #4)."""
+    from fbbev_tpu.config import Config
+    from fbbev_tpu.train.loop import build_model, _grid_size
+
+    cfg = Config.fromfile(cfg_path)
+    mdl_cfg = dict(cfg.model)
+    mdl_cfg["dtype"] = dtype_name
+    cfg2 = Config({"model": mdl_cfg})
+    model = build_model(cfg2)
+    return cfg, model, _grid_size(model)
+
+
+def dataset_stream(cfg, frames):
+    """First ``frames`` consecutive frames of scene 0 from the config's
+    dataset (the BN buffers of a trained checkpoint are adapted to THIS
+    distribution, so pricing must stream it rather than white noise)."""
+    import jax.numpy as jnp
+
+    from fbbev_tpu.data import collate
+    from fbbev_tpu.train.loop import build_dataset
+
+    ds = build_dataset(cfg, "val")
+    scene0 = np.flatnonzero(ds.flag == ds.flag[0])[:frames]
+    out = []
+    for idx in scene0:
+        b = collate([ds[int(idx)]])
+        out.append({k: jnp.asarray(v) for k, v in b.items()
+                    if not k.startswith("gt_")})
+    return out
+
+
+def load_ckpt_variables(ckpt_dir, use_ema):
+    """Restore params + batch_stats (optionally the EMA copies) from an
+    orbax training checkpoint without rebuilding the optimizer state."""
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    raw = mgr.restore(step)
+    mgr.close()
+    prefix = "ema_" if use_ema else ""
+    variables = {"params": raw[prefix + "params"]}
+    bs = raw.get(prefix + "batch_stats")
+    if bs:
+        variables["batch_stats"] = bs
+    return variables, int(step)
+
+
 def make_stream(rng, B, N, H, W, frames):
     import jax.numpy as jnp
 
@@ -128,7 +180,19 @@ def main():
     ap.add_argument("--bn-warmup", type=int, default=3,
                     help="train-mode passes over the stream to adapt "
                          "BatchNorm buffers before pricing (0 = raw "
-                         "init buffers)")
+                         "init buffers; ignored with --ckpt, whose "
+                         "batch_stats are real)")
+    ap.add_argument("--config", default=None,
+                    help="build the model + eval stream from a config "
+                         "file instead of the built-in sizes")
+    ap.add_argument("--ckpt", default=None,
+                    help="orbax checkpoint dir (work_dir/ckpts): price "
+                         "the serving config on TRAINED weights, the way "
+                         "the reference priced FP16 on the released "
+                         "model (deployment/README.md)")
+    ap.add_argument("--ema", action="store_true",
+                    help="use the EMA weights from --ckpt (the "
+                         "reference evaluates EMA checkpoints)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -140,21 +204,35 @@ def main():
 
     from fbbev_tpu.utils.fuse_bn import fold_batch_norms
 
-    size = "small" if args.small else "flagship"
-    model_a, grid = build(size, "float32")
-    model_b, _ = build(size, args.dtype)
-    H, W = model_a.input_size
-    N = model_a.num_cams
-    C = model_a.single_bev_num_channels
-
-    rng = np.random.RandomState(0)
-    stream = make_stream(rng, 1, N, H, W, args.frames)
-
     from fbbev_tpu.models.fbocc import init_temporal_state
 
-    variables = jax.jit(model_a.init)(
-        jax.random.PRNGKey(0), stream[0],
-        init_temporal_state(1, grid, model_a.history_cat_num, C))
+    ckpt_step = None
+    if args.config:
+        size = os.path.basename(args.config)
+        cfg, model_a, grid = build_from_config(args.config, "float32")
+        _, model_b, _ = build_from_config(args.config, args.dtype)
+        C = model_a.single_bev_num_channels
+        H, W = model_a.input_size
+        N = model_a.num_cams
+        stream = dataset_stream(cfg, args.frames)
+    else:
+        size = "small" if args.small else "flagship"
+        model_a, grid = build(size, "float32")
+        model_b, _ = build(size, args.dtype)
+        H, W = model_a.input_size
+        N = model_a.num_cams
+        C = model_a.single_bev_num_channels
+        rng = np.random.RandomState(0)
+        stream = make_stream(rng, 1, N, H, W, args.frames)
+
+    if args.ckpt:
+        variables, ckpt_step = load_ckpt_variables(args.ckpt, args.ema)
+        variables = jax.tree.map(jnp.asarray, variables)
+        args.bn_warmup = 0  # trained batch_stats ARE the eval buffers
+    else:
+        variables = jax.jit(model_a.init)(
+            jax.random.PRNGKey(0), stream[0],
+            init_temporal_state(1, grid, model_a.history_cat_num, C))
 
     # BN warm-up: at random init the BatchNorm buffers are (mean 0,
     # var 1), which does not normalise real activations, so magnitudes
@@ -200,7 +278,8 @@ def main():
 
     report = {"size": size, "dtype": args.dtype, "int8": args.int8,
               "fold_bn": not args.no_fold_bn,
-              "bn_warmup": args.bn_warmup, "frames": []}
+              "bn_warmup": args.bn_warmup, "ckpt": args.ckpt,
+              "ckpt_step": ckpt_step, "ema": args.ema, "frames": []}
     for i, (a, b) in enumerate(zip(outs_a, outs_b)):
         fr = {"frame": i}
         la = a["occ_logits"].astype(np.float64)

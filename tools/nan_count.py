@@ -70,25 +70,52 @@ def main():
 
     state = init_temporal_state(1, grid, model.history_cat_num, C)
 
+    spatial = os.environ.get("FBBEV_NAN_SPATIAL") == "1"
+
     @jax.jit
     def stats(variables, batch, state):
         outputs, new_state = model.apply(variables, batch, state,
                                          train=False)
         lg = outputs["occ_logits"].astype(jnp.float32)
-        return (jnp.isnan(lg).sum(), jnp.isinf(lg).sum(),
-                jnp.nanmax(jnp.abs(lg)),
-                jnp.isnan(outputs["bev_refined"].astype(jnp.float32)).sum()
-                if "bev_refined" in outputs else jnp.int32(-1)), new_state
+        nan = jnp.isnan(lg)
+        out = (nan.sum(), jnp.isinf(lg).sum(),
+               jnp.nanmax(jnp.abs(lg)),
+               jnp.isnan(outputs["bev_refined"].astype(jnp.float32)).sum()
+               if "bev_refined" in outputs else jnp.int32(-1))
+        if spatial:
+            # where are the NaNs?  (B, Y, X, Z, CLS) -> per-axis counts
+            # discriminate producer stages: all-classes-NaN at shared
+            # voxels = upstream of the logits conv; class-striped =
+            # inside it; z-striped = upsample/conv z handling
+            out = out + (nan.sum(axis=(0, 1, 2, 4)),   # per-Z
+                         nan.sum(axis=(0, 1, 2, 3)),   # per-class
+                         nan.all(-1).sum(),            # voxels all-NaN
+                         nan.any(-1).sum(),            # voxels any-NaN
+                         nan.sum(axis=(0, 2, 3, 4)),   # per-Y
+                         )
+        return out, new_state
 
     env = {k: v for k, v in os.environ.items() if k.startswith("FBBEV")}
     for i, b in enumerate(stream):
-        (n_nan, n_inf, amax, bev_nan), state = stats(variables, b, state)
-        print(json.dumps({
+        vals, state = stats(variables, b, state)
+        n_nan, n_inf, amax, bev_nan = vals[:4]
+        rec = {
             "frame": i, "nan": int(np.asarray(n_nan)),
             "inf": int(np.asarray(n_inf)),
             "max_abs": float(np.asarray(amax)),
             "bev_refined_nan": int(np.asarray(bev_nan)),
-            "env": env}), flush=True)
+            "env": env}
+        if spatial:
+            per_z, per_cls, all_nan, any_nan, per_y = vals[4:]
+            rec["per_z"] = np.asarray(per_z).tolist()
+            rec["per_class"] = np.asarray(per_cls).tolist()
+            rec["voxels_all_nan"] = int(np.asarray(all_nan))
+            rec["voxels_any_nan"] = int(np.asarray(any_nan))
+            y = np.asarray(per_y)
+            nz = np.flatnonzero(y)
+            rec["y_nan_range"] = ([int(nz[0]), int(nz[-1])]
+                                  if nz.size else None)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,30 @@ COMBOS = [
                 "FBBEV_DISABLE_PALLAS_SAMPLE": "1",
                 "FBBEV_POOL": "xla",
                 "FBBEV_CONV3D": "zfold"}, []),
+    # the eval-only occ-head coarse-pred algebraic restructure landed in
+    # the same round the NaN first appeared (commit 904118b, session 2)
+    ("coarsepred0", {"FBBEV_OCC_COARSE_PRED": "0"}, []),
+    # no conv decompositions at all: native XLA conv3d everywhere
+    ("nodecomp", {"FBBEV_DISABLE_CONV_DECOMP":
+                  "zslab,pointwise,deconv"}, []),
+    # round-5 batch 2: z-slab pinned as the producer (zfold/allxla = 0
+    # NaN); bisect by stride and price the shipped bf16 serving dtype
+    ("s2zfold", {"FBBEV_CONV3D_S2": "zfold"}, []),
+    ("s1zfold", {"FBBEV_CONV3D_S1": "zfold"}, []),
+    ("bf16", {}, ["--dtype", "bfloat16"]),
+    ("bf16-zfold", {"FBBEV_CONV3D": "zfold"}, ["--dtype", "bfloat16"]),
+    ("spatial", {"FBBEV_NAN_SPATIAL": "1"}, []),
+    # round-5 batch 3: stride-2 z-slab is the producer (s2zfold = 0 NaN,
+    # batch 2) and s2->zfold is now the DEFAULT (layers.py).  Validate
+    # the new default, run the complementary control (s1->zfold with s2
+    # FORCED back to zslab -> expect NaN), and price the shipped bf16
+    # serving dtype under the old routing.
+    ("default-fixed", {}, []),
+    ("s1zfold-s2zslab", {"FBBEV_CONV3D_S1": "zfold",
+                         "FBBEV_CONV3D_S2": "zslab"}, []),
+    ("bf16-oldzslab", {"FBBEV_CONV3D": "zslab"}, ["--dtype", "bfloat16"]),
+    ("spatial-zslab", {"FBBEV_CONV3D": "zslab",
+                       "FBBEV_NAN_SPATIAL": "1"}, []),
 ]
 
 
