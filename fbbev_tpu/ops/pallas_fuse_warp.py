@@ -378,7 +378,12 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
         brow = (epilogue["tvec"].astype(jnp.float32)[:, :, None]
                 * epilogue["ke"].astype(jnp.float32)[None, None, :]
                 + epilogue["kb"].astype(jnp.float32)[None, None, :])
-        brow = brow.reshape(B, NCB, CB)
+        # flattened to (B, 1, NCB*CB): blocking the NCB axis directly
+        # would put a partial block in the second-to-last position, which
+        # the Mosaic lowering rejects (last two block dims must be full or
+        # (8, 128)-divisible; round-5 on-chip A/B failure).  The singleton
+        # axis keeps the rule satisfied for any B.
+        brow = brow.reshape(B, 1, NCB * CB)
         ws4 = epilogue["ws"].astype(cdt).reshape(B, NCB, CB, F)
         fused_shape = jax.ShapeDtypeStruct(
             (B, Ht, TILE, Wt, TILE, Z, F), jnp.float32)
@@ -390,7 +395,7 @@ def fuse_warp(hist: jnp.ndarray, curr: jnp.ndarray, mat: jnp.ndarray,
             in_specs=in_specs + [
                 pl.BlockSpec((CB, CB), lambda b, i, j, k: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, CB), lambda b, i, j, k: (b, k, 0),
+                pl.BlockSpec((1, 1, CB), lambda b, i, j, k: (b, 0, k),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, CB, F), lambda b, i, j, k: (b, k, 0, 0),
                              memory_space=pltpu.VMEM),

@@ -163,6 +163,82 @@ def test_epilogue_fused_matches_age_path():
                                atol=2e-4, rtol=2e-3)
 
 
+def test_epilogue_fused_ncb2_block_indexing():
+    """NCB=2 (two channel blocks per warp step): the per-block bias rows
+    and cat-conv row blocks are indexed by the channel-block grid dim; the
+    flagship runs NCB=2 and the round-5 on-chip lowering failure
+    (/tmp/ab_r5a.jsonl) was in exactly this path while the NCB=1 test
+    above passed.  T=8/C=64/f32 forces CB=256 -> NCB=2 (see
+    _channel_block); 3 stream steps cover k>0 accumulation without the
+    interpreter cost of a full ring wrap."""
+    rng = np.random.RandomState(3)
+    T8 = 8
+    model = FBOCC(grid_config=GRID, bevformer_grid_config=BF_GRID,
+                  history_cat_num=T8, single_bev_num_channels=C,
+                  history_cat_conv_out_channels=2 * C)
+    curr0 = jnp.asarray(rng.randn(B, NY, NX, NZ, C).astype(np.float32))
+    tstate0 = init_temporal_state(B, (NX, NY, NZ), T8, C)
+
+    def init_run(mdl):
+        return mdl.fuse_history(curr0, tstate0, _meta(0),
+                                jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+                                do_history=True, train=False)
+
+    variables = model.init(jax.random.PRNGKey(0), method=init_run)
+    bs = jax.tree.map(
+        lambda x: jnp.asarray(
+            rng.rand(*x.shape).astype(np.float32) * 0.5 + 0.5),
+        variables.get("batch_stats", {}))
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    from fbbev_tpu.ops.pallas_fuse_warp import _channel_block
+    assert _channel_block(T8 * C, C, 4, NZ) == 2 * C * 2, (
+        "test premise: expected NCB=2")
+
+    currs = [rng.randn(B, NY, NX, NZ, C).astype(np.float32) * 0.3
+             for _ in range(3)]
+
+    def stream(force_fused, epi):
+        env_key = "FBBEV_FORCE_FUSE_WARP"
+        epi_key = "FBBEV_FUSE_WARP_EPI"
+        old, old_epi = os.environ.get(env_key), os.environ.get(epi_key)
+        try:
+            if force_fused:
+                os.environ[env_key] = "interpret"
+            else:
+                os.environ.pop(env_key, None)
+            if epi:
+                os.environ[epi_key] = "1"
+            else:
+                os.environ.pop(epi_key, None)
+            tstate = init_temporal_state(B, (NX, NY, NZ), T8, C)
+            outs = []
+            for step, curr in enumerate(currs):
+                def run(mdl):
+                    return mdl.fuse_history(
+                        jnp.asarray(curr), tstate, _meta(step),
+                        jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+                        do_history=True, train=False)
+
+                fused, tstate, mism = model.apply(variables, method=run)
+                assert not bool(np.asarray(mism).any())
+                outs.append(np.asarray(fused))
+            return outs
+        finally:
+            for k, v in ((env_key, old), (epi_key, old_epi)):
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    ref = stream(False, False)
+    got = stream(True, True)
+    for step, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            g, r, atol=3e-4, rtol=3e-3,
+            err_msg=f"NCB=2 epilogue diverged at step {step}")
+
+
 def test_ring_start_reset_mid_stream():
     """A start-of-sequence flag mid-stream must reset the fused path's
     ring exactly like the fallback's tile-reset."""

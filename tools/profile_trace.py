@@ -83,7 +83,10 @@ def main():
                         "FBBEV_FUSE_WARP / FBBEV_OCCFUSE etc.)")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--top", type=int, default=40)
-    p.add_argument("--config", default=None)
+    p.add_argument("--config", default=None,
+                   help="build the model from a config file instead of "
+                        "the hardcoded flagship (e.g. the VoVNet-99 "
+                        "512x1408 config); input shapes follow the config")
     args = p.parse_args()
 
     import numpy as np
@@ -92,17 +95,32 @@ def main():
     import jax.numpy as jnp
 
     from fbbev_tpu import geometry
-    from fbbev_tpu.models import FBOCC
     from fbbev_tpu.models.fbocc import init_temporal_state
 
-    rng = np.random.RandomState(0)
     B, N = args.batch, 6
-    intr = np.diag([560., 560., 1.]).astype(np.float32)
-    intr[0, 2], intr[1, 2] = 352., 128.
+    if args.config is not None:
+        from fbbev_tpu.config import Config
+        from fbbev_tpu.train.loop import _grid_size, build_model
+
+        cfg = Config.fromfile(args.config)
+        model = build_model(cfg).clone(remat=args.train)
+        H, W = model.input_size
+        N = model.num_cams
+        grid = _grid_size(model)
+    else:
+        from fbbev_tpu.models import FBOCC
+        model = FBOCC(dtype=jnp.bfloat16, remat=args.train)
+        H, W = 256, 704
+        grid = (100, 100, 8)
+
+    rng = np.random.RandomState(0)
+    intr = np.diag([560. * W / 704., 560. * W / 704., 1.]).astype(
+        np.float32)
+    intr[0, 2], intr[1, 2] = W / 2., H / 2.
     rots = np.stack([geometry.rot_z(a) for a in np.linspace(
         0, 2 * np.pi, N, endpoint=False)])[None]
     batch = dict(
-        imgs=jnp.asarray(rng.randn(B, N, 256, 704, 3).astype(np.float32)),
+        imgs=jnp.asarray(rng.randn(B, N, H, W, 3).astype(np.float32)),
         rots=jnp.asarray(np.broadcast_to(rots, (B, N, 3, 3)).astype(
             np.float32)),
         trans=jnp.zeros((B, N, 3)),
@@ -115,14 +133,15 @@ def main():
         start_of_sequence=jnp.zeros((B,), bool),
         sequence_group_idx=jnp.zeros((B,), jnp.int32),
         curr_to_prev_ego_rt=jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
-    model = FBOCC(dtype=jnp.bfloat16, remat=args.train)
-    tstate = init_temporal_state(B, (100, 100, 8), 16, 80,
-                                 dtype=jnp.bfloat16)
+    tstate = init_temporal_state(B, grid, model.history_cat_num,
+                                 model.single_bev_num_channels,
+                                 dtype=model.dtype)
 
     if args.train:
         from fbbev_tpu.train import Trainer
-        batch["gt_occupancy"] = jnp.zeros((B, 200, 200, 16), jnp.int32)
-        batch["gt_depth"] = jnp.zeros((B, N, 256, 704), jnp.float32)
+        batch["gt_occupancy"] = jnp.zeros(
+            (B, 2 * grid[0], 2 * grid[1], 16), jnp.int32)
+        batch["gt_depth"] = jnp.zeros((B, N, H, W), jnp.float32)
         trainer = Trainer(model, donate_state=False)  # args reused
         # (donation would invalidate fargs across profiler iterations)
         state = trainer.init_state(jax.random.PRNGKey(0), batch, tstate)
