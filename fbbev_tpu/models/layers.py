@@ -581,17 +581,22 @@ def _upsample_int_3d(x, rs):
         return (1.0 - w1) * lo + w1 * hi
 
     # separable factorisation: rd D-lerps, then rd*rh H-lerps, then
-    # rd*rh*rw W-lerps; XLA fuses the whole DAG into one output pass
-    phases = []
+    # rd*rh*rw W-lerps.  Each factor's phases are stacked at ITS OWN
+    # axis position so the final interleave is a pure (adjacent-dim
+    # merging) reshape -- the earlier single-axis stack needed a full-
+    # volume transpose afterwards, which cost more than the 1.75x
+    # rewrite it saved (round-5 on-chip A/B: 27.36 vs 28.93 fps).
+    d_parts = []
     for (id0, wd) in taps(rd):
         xd = lerp(xe, 1, D, id0, wd)
+        h_parts = []
         for (ih0, wh) in taps(rh):
             xdh = lerp(xd, 2, H, ih0, wh)
-            for (iw0, ww) in taps(rw):
-                phases.append(lerp(xdh, 3, W, iw0, ww))
-    out = jnp.stack(phases, axis=4)                # (B, D, H, W, P, C)
-    out = out.reshape(B, D, H, W, rd, rh, rw, C)
-    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3, 6, 7))
+            w_parts = [lerp(xdh, 3, W, iw0, ww)
+                       for (iw0, ww) in taps(rw)]
+            h_parts.append(jnp.stack(w_parts, axis=4))  # (B,D,H,W,rw,C)
+        d_parts.append(jnp.stack(h_parts, axis=3))  # (B,D,H,rh,W,rw,C)
+    out = jnp.stack(d_parts, axis=2)          # (B,D,rd,H,rh,W,rw,C)
     return out.reshape(B, D * rd, H * rh, W * rw, C)
 
 

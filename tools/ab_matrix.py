@@ -16,9 +16,15 @@ import subprocess
 import sys
 import time
 
+# train-step benchmark command (flagship config, 20 timed iters)
+_TRAIN_CMD = ["tools/benchmark.py",
+              "fbbev_tpu/configs/fbocc-r50-cbgs_depth_16f.py",
+              "--train-step", "--iters", "20"]
+
 # NOTE env semantics after the round-4 default flips: the default bench
 # mode IS serving with the Pallas pool + fused warp; combos below opt
 # pieces OUT (or select other modes) relative to that.
+# Combo entries: (name, env) runs bench.py; (name, env, cmd) runs cmd.
 COMBOS = [
     ("default", {}),  # serving + pallas pool + fused warp + int8 PTQ
     # int8-default-era A/Bs (round 4 session 4): head-conv impl under
@@ -62,6 +68,13 @@ COMBOS = [
     ("onepass", {"FBBEV_UPSAMPLE3D": "onepass"}),
     ("epi+onepass", {"FBBEV_FUSE_WARP_EPI": "1",
                      "FBBEV_UPSAMPLE3D": "onepass"}),
+    # round-5 train-step A/Bs (VERDICT r4 #3): flagship train step,
+    # B=1 synthetic, wall-clock steady state via tools/benchmark.py
+    ("train-default", {}, _TRAIN_CMD),
+    ("train-lovaszhist", {"FBBEV_LOVASZ": "hist"}, _TRAIN_CMD),
+    ("train-poolvjp", {"FBBEV_POOL_VJP": "1"}, _TRAIN_CMD),
+    ("train-lovaszhist+poolvjp", {"FBBEV_LOVASZ": "hist",
+                                  "FBBEV_POOL_VJP": "1"}, _TRAIN_CMD),
 ]
 
 
@@ -77,7 +90,9 @@ def main():
     only = set(args.only.split(",")) if args.only else None
 
     with open(args.out, "a") as f:
-        for name, env in COMBOS:
+        for combo in COMBOS:
+            name, env = combo[0], combo[1]
+            cmd = list(combo[2]) if len(combo) > 2 else ["bench.py"]
             if only and name not in only:
                 continue
             full_env = dict(os.environ)
@@ -85,7 +100,7 @@ def main():
             t0 = time.time()
             try:
                 p = subprocess.run(
-                    [sys.executable, "bench.py"], cwd=repo, env=full_env,
+                    [sys.executable] + cmd, cwd=repo, env=full_env,
                     capture_output=True, text=True, timeout=args.timeout)
                 rc = p.returncode
                 # bench prints ONE json line; find it

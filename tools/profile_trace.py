@@ -51,6 +51,7 @@ def profile_callable(fn, args, iters: int = 3,
                  if e.get("ph") == "M" and e.get("name") == "process_name"}
 
     agg = {}
+    noname = {}
     total = 0.0
     module_ms = 0.0
     for e in events:
@@ -66,12 +67,18 @@ def profile_callable(fn, args, iters: int = 3,
             continue
         src = args_d.get("source", "?")
         src = src.replace("/root/repo/", "")
+        if src == "?":
+            # keep the HLO op name so unattributed time is actionable
+            nm = e.get("name", "?")
+            noname[(nm, cat)] = noname.get((nm, cat), 0.0) + dur
         key = (src, cat)
         agg[key] = agg.get(key, 0.0) + dur
         total += dur
     rows = sorted(((v, cat, src) for (src, cat), v in agg.items()),
                   reverse=True)
-    return module_ms, total, rows
+    nn_rows = sorted(((v, cat, nm) for (nm, cat), v in noname.items()),
+                     reverse=True)
+    return module_ms, total, rows, nn_rows
 
 
 def main():
@@ -182,7 +189,7 @@ def main():
             return model.apply(v, b, ts, train=False, do_history=True)
         fargs = (variables, batch, tstate)
 
-    module_ms, total, rows = profile_callable(fn, fargs)
+    module_ms, total, rows, nn_rows = profile_callable(fn, fargs)
     print(f"\nmodule device time: {module_ms:.2f} ms/iter; "
           f"op-sum {total:.2f} ms/iter")
     print(f"{'ms':>8}  {'category':<16} source")
@@ -194,6 +201,10 @@ def main():
     print("\nby category:")
     for cat, v in sorted(bycat.items(), key=lambda kv: -kv[1]):
         print(f"{v:8.3f}  {cat}")
+    if nn_rows:
+        print("\nunattributed ops (no source):")
+        for v, cat, nm in nn_rows[:15]:
+            print(f"{v:8.3f}  {cat:<16} {nm}")
 
 
 if __name__ == "__main__":
