@@ -335,7 +335,7 @@ class FBOCC(nn.Module):
                      or interpret)
                 and os.environ.get("FBBEV_DISABLE_FUSE_WARP") != "1"
                 and pallas_fuse_warp.supports(
-                    state.history_bev.shape,
+                    state.history_bev.shape, C=C,
                     itemsize=jnp.dtype(self.dtype).itemsize)):
             # Fused Pallas path: one kernel does layout-free warp +
             # start-reset + ring-slot update + concat (docs/PERF.md r3).
@@ -368,7 +368,9 @@ class FBOCC(nn.Module):
             # below are readable during init)
             y1_c = self.history_keyframe_time_conv(
                 curr_bev, jnp.zeros((B, 1, 1, 1, 1), jnp.float32), train)
-            if os.environ.get("FBBEV_FUSE_WARP_EPI", "0") == "1":
+            # DEFAULT-ON since the round-5 on-chip A/B (/tmp/ab_r5b.jsonl,
+            # docs/ROUND5.md session 4): 29.08 -> 31.32 fps.  =0 opts out.
+            if os.environ.get("FBBEV_FUSE_WARP_EPI", "1") == "1":
                 # fused epilogue (docs/ROUND4.md session 4): the warped
                 # slots' time conv (eval BN folded) + their cat-conv
                 # contribution run inside the warp kernel; the 1280-ch

@@ -74,10 +74,9 @@ def _stream(model, variables, currs, force_fused, epi=False):
             os.environ[env_key] = "interpret"
         else:
             os.environ.pop(env_key, None)
-        if epi:
-            os.environ[epi_key] = "1"
-        else:
-            os.environ.pop(epi_key, None)
+        # epi defaults ON since round 5 -- set "0" explicitly to get the
+        # separate-time-conv kernel path
+        os.environ[epi_key] = "1" if epi else "0"
         tstate = init_temporal_state(B, (NX, NY, NZ), T, C)
         outs = []
         for step, curr in enumerate(currs):
@@ -207,10 +206,7 @@ def test_epilogue_fused_ncb2_block_indexing():
                 os.environ[env_key] = "interpret"
             else:
                 os.environ.pop(env_key, None)
-            if epi:
-                os.environ[epi_key] = "1"
-            else:
-                os.environ.pop(epi_key, None)
+            os.environ[epi_key] = "1" if epi else "0"
             tstate = init_temporal_state(B, (NX, NY, NZ), T8, C)
             outs = []
             for step, curr in enumerate(currs):
@@ -281,3 +277,37 @@ def test_ring_start_reset_mid_stream():
     for step, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(g, r, atol=2e-4, rtol=2e-3,
                                    err_msg=f"step {step}")
+
+
+def test_fused_kernel_actually_engages():
+    """Regression (round 5): fbocc.fuse_history called supports() without
+    the frame width C, so every config with single_bev_num_channels != 80
+    (including THIS file's C=64) silently took the XLA fallback -- all the
+    stream-equivalence tests above were vacuously comparing the fallback
+    to itself.  Spy on the kernel entry point and assert both the plain
+    and the epilogue (default) paths really run it."""
+    from fbbev_tpu.ops import pallas_fuse_warp as pfw
+
+    assert pfw.supports((B, NZ, NY, NX, T * C), C=C, itemsize=4)
+
+    calls = {"n": 0, "epi": 0}
+    orig = pfw.fuse_warp
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        if k.get("epilogue") is not None:
+            calls["epi"] += 1
+        return orig(*a, **k)
+
+    rng = np.random.RandomState(3)
+    model = _model()
+    variables = _params(model, rng)
+    currs = [rng.randn(B, NY, NX, NZ, C).astype(np.float32)]
+    pfw.fuse_warp = spy
+    try:
+        _stream(model, variables, currs, force_fused=True, epi=False)
+        assert calls["n"] >= 1 and calls["epi"] == 0
+        _stream(model, variables, currs, force_fused=True, epi=True)
+        assert calls["epi"] >= 1
+    finally:
+        pfw.fuse_warp = orig

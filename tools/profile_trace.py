@@ -90,6 +90,10 @@ def main():
                         "FBBEV_FUSE_WARP / FBBEV_OCCFUSE etc.)")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--dump-hlo", default=None,
+                   help="write the optimized HLO text here (names like "
+                        "reshape.146 in the unattributed list resolve "
+                        "against it)")
     p.add_argument("--config", default=None,
                    help="build the model from a config file instead of "
                         "the hardcoded flagship (e.g. the VoVNet-99 "
@@ -188,6 +192,12 @@ def main():
         def fn(v, b, ts):
             return model.apply(v, b, ts, train=False, do_history=True)
         fargs = (variables, batch, tstate)
+
+    if args.dump_hlo:
+        compiled = fn.lower(*fargs).compile()
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"optimized HLO -> {args.dump_hlo}")
 
     module_ms, total, rows, nn_rows = profile_callable(fn, fargs)
     print(f"\nmodule device time: {module_ms:.2f} ms/iter; "
