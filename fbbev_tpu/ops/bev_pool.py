@@ -52,6 +52,63 @@ def bev_pool(depth: jnp.ndarray, feat: jnp.ndarray,
     return out[:num_voxels]
 
 
+def _pool_points(depth: jnp.ndarray, feat: jnp.ndarray,
+                 ranks_bev: jnp.ndarray, num_voxels: int) -> jnp.ndarray:
+    """Core splat: (B,N,D,h,w) depth x (B,N,h,w,C) feat -> (V, C).
+
+    ``FBBEV_POOL_VJP=1`` swaps in a hand-written backward (the TPU
+    analogue of the reference's two-pass interval backward,
+    ``bev_pool_v2/src/bev_pool_cuda.cu:64-118``): ONE padded row-gather
+    of the output cotangent feeds both input contractions directly --
+    the (P, C) product cotangent never materialises as a separate
+    scatter-transpose, and the D-contraction for d_feat is shaped as a
+    batched matmul for the MXU instead of an elementwise reduce.
+    """
+    import os
+    B, N, D, fH, fW = depth.shape
+    C = feat.shape[-1]
+    P = B * N * D * fH * fW
+
+    def fwd_math(depth, feat, ranks):
+        prod = (depth[..., None] * feat[:, :, None]).reshape(P, C)
+        out = jax.ops.segment_sum(prod, ranks,
+                                  num_segments=num_voxels + 1)
+        return out[:num_voxels]
+
+    if os.environ.get("FBBEV_POOL_VJP") != "1":
+        return fwd_math(depth, feat, ranks_bev)
+
+    # ranks is a traced (data-dependent) array -- it must be a real
+    # argument with a float0 cotangent, not a closure (custom_vjp
+    # functions may only close over constants)
+    @jax.custom_vjp
+    def pool(depth, feat, ranks):
+        return fwd_math(depth, feat, ranks)
+
+    def fwd(depth, feat, ranks):
+        return fwd_math(depth, feat, ranks), (depth, feat, ranks)
+
+    def bwd(res, g):
+        import numpy as np
+        depth, feat, ranks = res
+        # dump rank == num_voxels -> the appended zero row (invalid
+        # points contribute no gradient, mirroring the forward drop)
+        gz = jnp.concatenate(
+            [g, jnp.zeros((1, C), g.dtype)], axis=0)
+        gp = gz[ranks].reshape(B, N, D, fH, fW, C)
+        d_depth = jnp.einsum("bndhwc,bnhwc->bndhw", gp, feat,
+                             preferred_element_type=jnp.float32
+                             ).astype(depth.dtype)
+        d_feat = jnp.einsum("bndhw,bndhwc->bnhwc", depth, gp,
+                            preferred_element_type=jnp.float32
+                            ).astype(feat.dtype)
+        return (d_depth, d_feat,
+                np.zeros(ranks.shape, jax.dtypes.float0))
+
+    pool.defvjp(fwd, bwd)
+    return pool(depth, feat, ranks_bev)
+
+
 def lss_voxel_pool(coor: jnp.ndarray, depth: jnp.ndarray, feat: jnp.ndarray,
                    grid_lower: Sequence[float], grid_interval: Sequence[float],
                    grid_size: Sequence[int],
@@ -105,18 +162,17 @@ def lss_voxel_pool(coor: jnp.ndarray, depth: jnp.ndarray, feat: jnp.ndarray,
 
     # gather-free product: point p = (b, n, d, h, w) shares its pixel's
     # feature across the D depth bins -> a broadcast, not a gather.
-    prod = (depth[..., None] * feat[:, :, None]).reshape(P, C)
     if sort_points:
+        prod = (depth[..., None] * feat[:, :, None]).reshape(P, C)
         order = jnp.argsort(ranks_bev)
         out = jax.ops.segment_sum(
             prod[order], ranks_bev[order], num_segments=num_voxels + 1,
             indices_are_sorted=True,
         )
+        out = out[:num_voxels]
     else:
-        out = jax.ops.segment_sum(
-            prod, ranks_bev, num_segments=num_voxels + 1,
-        )
-    out = out[:num_voxels].reshape(B, nz, ny, nx, C)
+        out = _pool_points(depth, feat, ranks_bev, num_voxels)
+    out = out.reshape(B, nz, ny, nx, C)
     return jnp.transpose(out, (0, 2, 3, 1, 4)).astype(
         jnp.float32)  # (B, Y, X, Z, C)
 

@@ -82,3 +82,38 @@ def test_lss_voxel_pool_sorted_equals_unsorted(rng):
                                   jnp.asarray(feat), sort_points=False,
                                   **kwargs))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_pool_custom_vjp_matches_autodiff(rng, monkeypatch):
+    """FBBEV_POOL_VJP=1 (hand-written backward, the TPU analogue of the
+    reference's two-pass interval backward, bev_pool_cuda.cu:64-118):
+    forward and both input gradients must match the XLA-autodiff
+    segment-sum path exactly, including zero gradient for out-of-grid
+    (dump-routed) points and under jit."""
+    B, N, D, fH, fW, C = 2, 2, 3, 2, 3, 4
+    kwargs = dict(grid_lower=[-2.0, -2.4, -1.0],
+                  grid_interval=[0.8, 0.8, 1.0], grid_size=(5, 6, 2))
+    # spread well outside the grid so dump routing is exercised
+    coor = jnp.asarray(rng.rand(B, N, D, fH, fW, 3).astype(np.float32)
+                       * 6 - 3)
+    depth = jnp.asarray(rng.rand(B, N, D, fH, fW).astype(np.float32))
+    feat = jnp.asarray(rng.randn(B, N, fH, fW, C).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, 6, 5, 2, C).astype(np.float32))
+
+    def loss(d, f):
+        return jnp.sum(lss_voxel_pool(coor, d, f, **kwargs) * cot)
+
+    monkeypatch.delenv("FBBEV_POOL_VJP", raising=False)
+    ref_out = lss_voxel_pool(coor, depth, feat, **kwargs)
+    ref_gd, ref_gf = jax.grad(loss, argnums=(0, 1))(depth, feat)
+
+    monkeypatch.setenv("FBBEV_POOL_VJP", "1")
+    got_out = lss_voxel_pool(coor, depth, feat, **kwargs)
+    got_gd, got_gf = jax.jit(jax.grad(loss, argnums=(0, 1)))(depth, feat)
+
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gd), np.asarray(ref_gd),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gf), np.asarray(ref_gf),
+                               atol=1e-5)
