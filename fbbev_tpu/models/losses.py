@@ -161,22 +161,24 @@ def lovasz_softmax_loss(logits: jnp.ndarray, target: jnp.ndarray,
     shapes: ignored voxels get error 0 / fg 0, which contributes nothing
     to the Lovasz dot product.
 
-    ``method`` (default env ``FBBEV_LOVASZ`` or "sort"):
+    ``method`` (default env ``FBBEV_LOVASZ`` or "hist"):
 
     * "sort": exact, one batched (C, N) ``lax.sort`` -- the TPU sort is
       the single largest op in the training step (~80 ms at 200x200x16,
       docs/PERF.md);
-    * "hist": counting-sort formulation -- errors are quantized to
-      ``FBBEV_LOVASZ_BINS`` (default 2048) levels and the per-class
-      histogram is built by one-hot matmuls (MXU work instead of sort
-      throughput).  The Lovasz gradient-coefficient sum telescopes within
-      an error-equal bin, so the loss equals the exact Lovasz of the
-      quantized errors with the bin-mean error as representative:
-      |hist - sort| <= bin_width.  The VJP is the bin-averaged Lovasz
-      coefficient -- a smoothed version of the exact per-element one.
+    * "hist" (DEFAULT since round 5 -- on-chip A/B: flagship train step
+      385.5 -> 281.4 ms, /tmp/ab_r5c_train.jsonl): counting-sort
+      formulation -- errors are quantized to ``FBBEV_LOVASZ_BINS``
+      (default 2048) levels and the per-class histogram is built by
+      one-hot matmuls (MXU work instead of sort throughput).  The Lovasz
+      gradient-coefficient sum telescopes within an error-equal bin, so
+      the loss equals the exact Lovasz of the quantized errors with the
+      bin-mean error as representative: |hist - sort| <= bin_width.  The
+      VJP is the bin-averaged Lovasz coefficient -- a smoothed version
+      of the exact per-element one.
     """
     import os
-    method = method or os.environ.get("FBBEV_LOVASZ", "sort")
+    method = method or os.environ.get("FBBEV_LOVASZ", "hist")
     C = logits.shape[-1]
     probas = jax.nn.softmax(
         logits.astype(jnp.float32), axis=-1).reshape(-1, C)

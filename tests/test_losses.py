@@ -120,8 +120,22 @@ def test_sem_scal(rng):
 def test_lovasz(rng):
     logits, target = make_case(rng)
     ours = float(L.lovasz_softmax_loss(jnp.asarray(logits),
-                                       jnp.asarray(target)))
+                                       jnp.asarray(target),
+                                       method="sort"))
     np.testing.assert_allclose(ours, np_lovasz(logits, target), rtol=1e-4)
+
+
+def test_lovasz_default_is_hist(rng, monkeypatch):
+    # round-5 default flip (on-chip A/B: train step 385.5 -> 281.4 ms,
+    # docs/PERF.md); explicit env still wins
+    monkeypatch.delenv("FBBEV_LOVASZ", raising=False)
+    logits, target = make_case(rng)
+    dflt = float(L.lovasz_softmax_loss(jnp.asarray(logits),
+                                       jnp.asarray(target)))
+    hist = float(L.lovasz_softmax_loss(jnp.asarray(logits),
+                                       jnp.asarray(target),
+                                       method="hist"))
+    assert dflt == hist
 
 
 def test_focal(rng):

@@ -70,7 +70,8 @@ COMBOS = [
                      "FBBEV_UPSAMPLE3D": "onepass"}),
     # round-5 train-step A/Bs (VERDICT r4 #3): flagship train step,
     # B=1 synthetic, wall-clock steady state via tools/benchmark.py
-    ("train-default", {}, _TRAIN_CMD),
+    ("train-default", {}, _TRAIN_CMD),  # hist Lovasz since round 5
+    ("train-lovaszsort", {"FBBEV_LOVASZ": "sort"}, _TRAIN_CMD),
     ("train-lovaszhist", {"FBBEV_LOVASZ": "hist"}, _TRAIN_CMD),
     ("train-poolvjp", {"FBBEV_POOL_VJP": "1"}, _TRAIN_CMD),
     ("train-lovaszhist+poolvjp", {"FBBEV_LOVASZ": "hist",
