@@ -168,7 +168,7 @@ def main():
                 with open(cand) as f:
                     data = json.load(f)
                 if data.get("key") == cache_key:
-                    scales = data["scales"]
+                    scales = Q.scales_from_json(data["scales"])
                     break
             if scales is not None:
                 pipe.qparams = Q.build_qparams(variables, scales)
@@ -178,7 +178,8 @@ def main():
                     [meta_of(b) for b in (batch0, staged[0])])
                 with open(scales_path, "w") as f:
                     json.dump({"key": cache_key,
-                               "scales": pipe._int8_scales}, f)
+                               "scales": Q.scales_to_json(
+                                   pipe._int8_scales)}, f)
 
         # rig-static terms (ranks / bwd-proj geometry / depth-sampling
         # matrix / camera MLP vector) MUST be jit ARGUMENTS: closed-over

@@ -5,9 +5,19 @@ engines (TensorRT FP16/INT8 rows, ``/root/reference/deployment/README.md``):
 the v5e MXU runs s8 x s8 -> s32 at 2x the bf16 peak, so the serving convs
 are executed as int8 convolutions with
 
-  * per-OUTPUT-CHANNEL symmetric weight scales (host-precomputed), and
-  * per-TENSOR symmetric activation scales from a short calibration run
-    (max-abs over calibration frames, the classic static-PTQ recipe).
+  * per-OUTPUT-CHANNEL symmetric weight scales (host-precomputed),
+  * per-INPUT-CHANNEL activation smoothing (SmoothQuant-style): the
+    calibration collects per-channel input absmax vectors; a channel
+    factor ``t_ci = a_ci**alpha / wmax_ci**(1-alpha)`` is divided out of
+    the activation and multiplied into the weight's input-channel axis
+    BEFORE weight quantization -- an exact rewrite of the same conv, so
+    outlier activation channels (ubiquitous in trained networks; absent
+    at random init, which is how the per-tensor scheme initially looked
+    fine) stop dictating the whole tensor's scale.  ``alpha`` via
+    ``FBBEV_INT8_SMOOTH_ALPHA`` (default 0.5);
+    ``FBBEV_INT8_CALIB=tensor`` restores the per-tensor scheme, and
+  * a per-TENSOR symmetric scale on the smoothed activation (max-abs
+    over calibration frames, the classic static-PTQ recipe).
 
 Nothing in the model code changes: quantization is applied by a flax
 method interceptor (`flax.linen.intercept_methods`) that replaces the
@@ -68,8 +78,12 @@ def collect_scales():
         m = context.module
         if _eligible(m, context.method_name) and args:
             x = args[0]
+            # per-INPUT-CHANNEL absmax (channels-last everywhere): the
+            # vector both prices the per-tensor scale (its max) and
+            # feeds the smoothing factors in build_qparams
             m.sow(_QCOLL, "in_absmax",
-                  jnp.max(jnp.abs(x.astype(jnp.float32))),
+                  jnp.max(jnp.abs(x.astype(jnp.float32)),
+                          axis=tuple(range(x.ndim - 1))),
                   init_fn=lambda: jnp.float32(0.0),
                   reduce_fn=jnp.maximum)
         return next_fun(*args, **kwargs)
@@ -78,8 +92,8 @@ def collect_scales():
         yield
 
 
-def scales_from_stats(stats: Dict[str, Any]) -> Dict[str, float]:
-    """Flatten a ``quant_stats`` tree into {module_path: absmax}."""
+def scales_from_stats(stats: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flatten a ``quant_stats`` tree into {module_path: absmax (Cin,)}."""
     flat = {}
 
     def walk(node, path):
@@ -89,10 +103,31 @@ def scales_from_stats(stats: Dict[str, Any]) -> Dict[str, float]:
         else:
             # leaf: path ends with the sow name ("in_absmax")
             assert path[-1] == "in_absmax", path
-            flat["/".join(path[:-1])] = float(np.asarray(node))
+            flat["/".join(path[:-1])] = np.asarray(node, np.float64)
 
     walk(jax.tree.map(np.asarray, stats), ())
     return flat
+
+
+def _merge_scales(merged: Dict[str, Any], new: Dict[str, Any]) -> None:
+    for k, v in new.items():
+        merged[k] = np.maximum(merged[k], v) if k in merged else v
+
+
+def scales_to_json(scales: Dict[str, Any]) -> Dict[str, Any]:
+    """Serializable form of a calibration artifact (per-channel vectors
+    become lists; legacy scalar entries stay floats)."""
+    out = {}
+    for k, v in scales.items():
+        a = np.asarray(v)
+        out[k] = float(a) if a.ndim == 0 else [float(x) for x in a]
+    return out
+
+
+def scales_from_json(obj: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: (np.asarray(v, np.float64) if isinstance(v, list)
+                else float(v))
+            for k, v in obj.items()}
 
 
 def calibrate_serving(pipe, frames: Sequence[np.ndarray],
@@ -117,13 +152,12 @@ def calibrate_serving(pipe, frames: Sequence[np.ndarray],
                 method=_run_bound, mutable=[_QCOLL])
         return new_state, stats[_QCOLL]
 
-    merged: Dict[str, float] = {}
+    merged: Dict[str, Any] = {}
     for imgs, meta in zip(frames, metas):
         state, stats = step(variables, jnp.asarray(imgs), meta, state,
                             pipe.ranks_bev, pipe.bwd_terms,
                             pipe.mlp_input)
-        for k, v in scales_from_stats(stats).items():
-            merged[k] = max(merged.get(k, 0.0), v)
+        _merge_scales(merged, scales_from_stats(stats))
     return merged
 
 
@@ -143,11 +177,10 @@ def calibrate_model(model, variables, stream, state) -> Dict[str, float]:
                 variables, batch, state, train=False, mutable=[_QCOLL])
         return new_state, mut[_QCOLL]
 
-    merged: Dict[str, float] = {}
+    merged: Dict[str, Any] = {}
     for b in stream:
         state, stats = step(variables, b, state)
-        for k, v in scales_from_stats(stats).items():
-            merged[k] = max(merged.get(k, 0.0), v)
+        _merge_scales(merged, scales_from_stats(stats))
     return merged
 
 
@@ -155,21 +188,36 @@ def calibrate_model(model, variables, stream, state) -> Dict[str, float]:
 # qparams construction (host side)
 
 
-def build_qparams(variables: Dict[str, Any], scales: Dict[str, float],
+def build_qparams(variables: Dict[str, Any], scales: Dict[str, Any],
                   exclude: Sequence[str] = DEFAULT_EXCLUDE,
-                  min_absmax: float = 1e-6) -> Dict[str, Dict[str, Any]]:
-    """Quantize conv weights per-out-channel for every calibrated path.
+                  min_absmax: float = 1e-6,
+                  alpha: Optional[float] = None) -> Dict[str, Dict[str, Any]]:
+    """Quantize conv weights per-out-channel for every calibrated path,
+    smoothing per-input-channel activation outliers into the weights
+    first (module docstring).
+
+    ``scales[path]`` is the calibration absmax: a (Cin,) vector (current
+    calibrators) or a legacy scalar (old cache artifacts -- per-tensor).
 
     Returns a flat {module_path: {"w_q" int8, "s_w" f32[Cout],
-    "s_x" f32[], "b" f32[Cout] | None}} dict -- a valid pytree, passed
-    into the jitted serving step as a device input.
+    "s_x" f32[], "m_x" f32[Cin] | None, "b" f32[Cout] | None}} dict --
+    a valid pytree, passed into the jitted serving step as a device
+    input.  ``m_x`` is the fused per-channel quantize multiplier
+    ``1 / (t_ci * s_x)``; None means the legacy per-tensor path.
     """
+    import os
+    if alpha is None:
+        alpha = float(os.environ.get("FBBEV_INT8_SMOOTH_ALPHA", "0.5"))
+    per_tensor = (os.environ.get("FBBEV_INT8_CALIB", "smooth") == "tensor"
+                  or alpha == 0.0)
     params = variables["params"]
     exc = [re.compile(p) for p in exclude]
     out: Dict[str, Dict[str, Any]] = {}
-    for path, absmax in scales.items():
+    for path, a in scales.items():
         if any(p.search(path) for p in exc):
             continue
+        a = np.asarray(a, np.float64)
+        absmax = float(a.max())
         if absmax <= min_absmax:
             continue
         node = params
@@ -182,6 +230,23 @@ def build_qparams(variables: Dict[str, Any], scales: Dict[str, float],
         if not ok or "kernel" not in node:
             continue
         k = np.asarray(node["kernel"], np.float32)
+        m_x = None
+        # smoothing needs the full per-input-channel picture: skip for
+        # legacy scalar artifacts and for grouped/depthwise kernels
+        # (kernel input dim != Cin, so the fold has no 1:1 channel map)
+        if (not per_tensor and a.ndim == 1 and k.ndim >= 2
+                and k.shape[-2] == a.shape[0]):
+            wmax = np.abs(k).max(
+                axis=tuple(i for i in range(k.ndim) if i != k.ndim - 2))
+            live = (a > min_absmax) & (wmax > 1e-12)
+            t = np.ones_like(a)
+            t[live] = (a[live] ** alpha) / (wmax[live] ** (1.0 - alpha))
+            t = np.clip(t, 1e-5, 1e5)
+            k = k * t.astype(np.float32)[..., None]  # input axis is -2
+            s_x = float((a / t).max()) / 127.0
+            m_x = (1.0 / (t * s_x)).astype(np.float32)
+        else:
+            s_x = absmax / 127.0
         red = tuple(range(k.ndim - 1))  # all but Cout
         s_w = np.abs(k).max(axis=red) / 127.0
         s_w = np.maximum(s_w, 1e-12)
@@ -189,7 +254,8 @@ def build_qparams(variables: Dict[str, Any], scales: Dict[str, float],
         out[path] = {
             "w_q": jnp.asarray(w_q),
             "s_w": jnp.asarray(s_w.astype(np.float32)),
-            "s_x": jnp.float32(absmax / 127.0),
+            "s_x": jnp.float32(s_x),
+            "m_x": None if m_x is None else jnp.asarray(m_x),
             "b": (jnp.asarray(np.asarray(node["bias"], np.float32))
                   if "bias" in node else None),
         }
@@ -200,8 +266,14 @@ def build_qparams(variables: Dict[str, Any], scales: Dict[str, float],
 # quantized execution
 
 
-def _quantize_act(x, s_x):
-    xq = jnp.round(x.astype(jnp.float32) / s_x)
+def _quantize_act(x, qp):
+    m_x = qp.get("m_x")
+    if m_x is not None:
+        # fused smooth+quantize: one broadcast multiply on the channel
+        # (last) axis -- same HBM cost as the scalar divide
+        xq = jnp.round(x.astype(jnp.float32) * m_x)
+    else:
+        xq = jnp.round(x.astype(jnp.float32) / qp["s_x"])
     return jnp.clip(xq, -127.0, 127.0).astype(jnp.int8)
 
 
@@ -276,7 +348,7 @@ def _quant_nn_conv(m: nn.Conv, qp, x):
     dil = m.kernel_dilation or 1
     if isinstance(dil, int):
         dil = (dil,) * n
-    xq = _quantize_act(x, qp["s_x"])
+    xq = _quantize_act(x, qp)
     y = jax.lax.conv_general_dilated(
         xq, qp["w_q"], tuple(strides), _canon_padding(m.padding, n),
         rhs_dilation=tuple(dil), dimension_numbers=_dn(x.ndim),
@@ -295,7 +367,7 @@ def _quant_zslab(m, qp, x):
     # scale (q(0) == 0).
     B, Y, X, Z, Cin = x.shape
     s = m.strides
-    xq = _quantize_act(x, qp["s_x"])
+    xq = _quantize_act(x, qp)
     xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
     Zo = (Z + 2 - 3) // s + 1
     acc = None
@@ -333,7 +405,7 @@ def _quant_zfold(m, qp, x):
     Kz = Kz * mask[None, None, :, :, None, None].astype(jnp.int8)
     K2 = jnp.transpose(Kz, (0, 1, 3, 4, 2, 5)).reshape(
         3, 3, Z * Cin, Zo * Co)
-    xq = _quantize_act(x, qp["s_x"]).reshape(B, Y, X, Z * Cin)
+    xq = _quantize_act(x, qp).reshape(B, Y, X, Z * Cin)
     y2 = jax.lax.conv_general_dilated(
         xq, K2, (s, s), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -350,7 +422,7 @@ def _quant_pointwise(m, qp, x):
         s = m.strides
         x = x[:, ::s, ::s, ::s, :]
     Cin = x.shape[-1]
-    xq = _quantize_act(x, qp["s_x"])
+    xq = _quantize_act(x, qp)
     w = qp["w_q"].reshape(Cin, -1)
     y = jax.lax.dot_general(
         xq, w, (((x.ndim - 1,), (0,)), ((), ())),

@@ -121,7 +121,7 @@ def main():
             with open(scales_path) as f:
                 data = json.load(f)
             if data.get("key") == cache_key:
-                scales = data["scales"]
+                scales = Q.scales_from_json(data["scales"])
         if scales is not None:
             pipe.qparams = Q.build_qparams(variables, scales)
         else:
@@ -130,7 +130,8 @@ def main():
                 [meta_of(b) for b in (batch0, staged[0])])
             with open(scales_path, "w") as f:
                 json.dump({"key": cache_key,
-                           "scales": pipe._int8_scales}, f)
+                           "scales": Q.scales_to_json(
+                               pipe._int8_scales)}, f)
 
     # rig-static terms as jit ARGUMENTS (closure literals overflow the
     # remote-compile request -- see bench.py)
