@@ -41,6 +41,21 @@ from fbbev_tpu.ops.grid_sample import grid_sample_3d, grid_sample_3d_tiled
 from fbbev_tpu.registry import DETECTORS
 
 
+def _bev_spec() -> tuple:
+    """Partition spec for BEV-stage (B, Y, X, ...) pins.
+
+    Default: batch -> 'data' only (the BEV stages replicate along
+    'space'; that axis shards cameras in the image stages).  With
+    ``FBBEV_BEV_SPACE_SHARD=1`` the BEV Y axis is additionally pinned to
+    'space', so every BEV conv / head runs on Y-slices with GSPMD halo
+    exchanges -- the layout for meshes with more devices than the batch
+    (AOT-priced by tools/multichip_aot.py --space 2)."""
+    import os
+    if os.environ.get("FBBEV_BEV_SPACE_SHARD") == "1":
+        return ("data", "space")
+    return ("data",)
+
+
 class TemporalState(NamedTuple):
     """SoloFusion history ring buffer, an explicit functional carry.
 
@@ -459,7 +474,7 @@ class FBOCC(nn.Module):
             # re-pin the batch sharding: the warp gather defeats GSPMD
             # propagation (see parallel/mesh.py)
             from fbbev_tpu.parallel import pshard
-            sampled = pshard(sampled)
+            sampled = pshard(sampled, *_bev_spec())
             feats_cat = jnp.concatenate([curr_bev, sampled], -1)  # (1+T)C
             sweep_full = jnp.concatenate(
                 [jnp.zeros((B, 1), jnp.float32), sweep_r], axis=1)
@@ -518,28 +533,35 @@ class FBOCC(nn.Module):
         # no-ops single-device.  Without them GSPMD loses the batch
         # sharding at the pool scatter / warp gather and replicates every
         # downstream stage on all devices (see parallel/mesh.py).
+        # FBBEV_BEV_SPACE_SHARD=1 additionally pins the BEV Y axis to
+        # 'space' (image stages shard cameras over 'space'; the BEV
+        # stages otherwise replicate along it -- docs/PERF.md round 3).
+        # GSPMD inserts the conv halo exchanges automatically.
         from fbbev_tpu.parallel import pshard
-        bev_feat = pshard(self.forward_projection(cam, context, depth))
+        spec = _bev_spec()
+        bev_feat = pshard(self.forward_projection(cam, context, depth),
+                          *spec)
 
         outputs: Dict[str, Any] = {"depth": depth, "context": context}
         if self.use_backward_projection:
             lss_bev = jnp.mean(bev_feat, axis=3)  # z-collapse (B, Y, X, C)
             refined = pshard(self.backward_projection(
-                context, lss_bev.astype(self.dtype), cam, depth, train))
+                context, lss_bev.astype(self.dtype), cam, depth, train),
+                *spec)
             bev_feat = refined.astype(jnp.float32)[:, :, :, None, :] \
                 + bev_feat
             outputs["bev_refined"] = refined
 
         fused, new_state, seq_mismatch = self.fuse_history(
             bev_feat, state, batch, cam.bda, do_history, train)
-        fused = pshard(fused)
+        fused = pshard(fused, *spec)
         outputs["seq_mismatch"] = seq_mismatch
 
         x = self.img_bev_encoder_backbone(fused.astype(jnp.float32), train)
-        voxel_feats = [pshard(v) for v in self.img_bev_encoder_neck(x,
-                                                                    train)]
+        voxel_feats = [pshard(v, *spec)
+                       for v in self.img_bev_encoder_neck(x, train)]
         if self.use_occupancy_head:
-            logits = pshard(self.occupancy_head(voxel_feats, train))
+            logits = pshard(self.occupancy_head(voxel_feats, train), *spec)
             outputs["occ_logits"] = logits  # (B, Y, X, Z, num_classes)
         if self.use_detection_head:
             # z-collapse by folding Z into channels (design choice for the

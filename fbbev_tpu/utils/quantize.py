@@ -74,16 +74,26 @@ def collect_scales():
     forward with ``mutable=[..., "quant_stats"]`` and read the stats from
     the returned variables."""
 
+    import os
+    stat = os.environ.get("FBBEV_INT8_ACT_STAT", "absmax")
+
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
         if _eligible(m, context.method_name) and args:
             x = args[0]
-            # per-INPUT-CHANNEL absmax (channels-last everywhere): the
+            # per-INPUT-CHANNEL stat (channels-last everywhere): the
             # vector both prices the per-tensor scale (its max) and
-            # feeds the smoothing factors in build_qparams
-            m.sow(_QCOLL, "in_absmax",
-                  jnp.max(jnp.abs(x.astype(jnp.float32)),
-                          axis=tuple(range(x.ndim - 1))),
+            # feeds the smoothing factors in build_qparams.
+            # FBBEV_INT8_ACT_STAT=p999 clips the scale at the 99.9th
+            # percentile of |x| per channel (the handful of post-relu
+            # spikes saturate instead of dictating the step size).
+            a = jnp.abs(x.astype(jnp.float32))
+            if stat == "p999":
+                v = jnp.quantile(a.reshape(-1, a.shape[-1]), 0.999,
+                                 axis=0)
+            else:
+                v = jnp.max(a, axis=tuple(range(x.ndim - 1)))
+            m.sow(_QCOLL, "in_absmax", v,
                   init_fn=lambda: jnp.float32(0.0),
                   reduce_fn=jnp.maximum)
         return next_fun(*args, **kwargs)
@@ -189,7 +199,7 @@ def calibrate_model(model, variables, stream, state) -> Dict[str, float]:
 
 
 def build_qparams(variables: Dict[str, Any], scales: Dict[str, Any],
-                  exclude: Sequence[str] = DEFAULT_EXCLUDE,
+                  exclude: Optional[Sequence[str]] = None,
                   min_absmax: float = 1e-6,
                   alpha: Optional[float] = None) -> Dict[str, Dict[str, Any]]:
     """Quantize conv weights per-out-channel for every calibrated path,
@@ -210,6 +220,13 @@ def build_qparams(variables: Dict[str, Any], scales: Dict[str, Any],
         alpha = float(os.environ.get("FBBEV_INT8_SMOOTH_ALPHA", "0.5"))
     per_tensor = (os.environ.get("FBBEV_INT8_CALIB", "smooth") == "tensor"
                   or alpha == 0.0)
+    if exclude is None:
+        # FBBEV_INT8_EXCLUDE_EXTRA: comma-separated regexes appended to
+        # the default exclusions (e.g. "depth_net/" keeps the whole
+        # depth/context trunk in bf16)
+        extra = os.environ.get("FBBEV_INT8_EXCLUDE_EXTRA", "")
+        exclude = tuple(DEFAULT_EXCLUDE) + tuple(
+            p for p in extra.split(",") if p)
     params = variables["params"]
     exc = [re.compile(p) for p in exclude]
     out: Dict[str, Dict[str, Any]] = {}
@@ -336,7 +353,8 @@ def code_cache_key(model_size, input_size, seed: int) -> dict:
     with open(src_path, "rb") as f:
         sha = hashlib.sha256(f.read()).hexdigest()[:16]
     return {"model": str(model_size), "input": list(input_size),
-            "seed": int(seed), "quantize_sha": sha}
+            "seed": int(seed), "quantize_sha": sha,
+            "act_stat": _os.environ.get("FBBEV_INT8_ACT_STAT", "absmax")}
 
 
 def _quant_nn_conv(m: nn.Conv, qp, x):
