@@ -64,6 +64,8 @@ COMBOS = [
     # round-5: bank the two round-4 built-but-unmeasured opt-ins
     # (VERDICT r4 weak #5): fuse_warp epilogue fusion and the one-pass
     # integer 3D upsample
+    # price the int8 default against pure-bf16 at the current stack
+    ("bf16only", {"FBBEV_INT8": "0"}),
     ("epi", {"FBBEV_FUSE_WARP_EPI": "1"}),
     ("onepass", {"FBBEV_UPSAMPLE3D": "onepass"}),
     ("epi+onepass", {"FBBEV_FUSE_WARP_EPI": "1",
