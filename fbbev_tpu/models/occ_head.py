@@ -42,7 +42,13 @@ class OccHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, voxel_feats, train: bool = False):
+    def __call__(self, voxel_feats, train: bool = False,
+                 return_labels: bool = False):
+        """Returns (B, Y, X, Z, out_channel) f32 logits, or -- with
+        ``return_labels`` (the serving path, which only consumes the
+        deployment argmax, ``fbocc_trt.py:85-127``) -- (B, Y, X, Z) int32
+        labels, enabling the fused Pallas tail (ops/pallas_occ_tail.py,
+        FBBEV_OCC_TAIL=1)."""
         assert len(voxel_feats) == self.num_level
         mid = self.in_channels[0] // 2
         outputs = []
@@ -98,8 +104,25 @@ class OccHead(nn.Module):
 
         target_size = outputs[0].shape[1:4]
         import os
-        if (not train
-                and os.environ.get("FBBEV_OCC_COARSE_PRED", "1") == "1"):
+        coarse_pred = (not train and os.environ.get(
+            "FBBEV_OCC_COARSE_PRED", "1") == "1")
+        if return_labels and coarse_pred and self._tail_ok(
+                outputs, target_size):
+            # fused Pallas tail (upsample + blend + BN + relu + class
+            # matmul per VMEM row-band, ops/pallas_occ_tail.py): the
+            # full-res blended volume and its relu image never reach HBM.
+            # Opt-in pending the on-chip A/B (FBBEV_OCC_TAIL=1).
+            mid2 = mid // 2
+            conv2 = Conv1x1x1Dense(self.out_channel, use_bias=False,
+                                   dtype=self.dtype, name="pred_conv2")
+            conv2(jnp.zeros((1, 1, 1, 1, mid2), self.dtype))  # bind
+            k2 = conv2.variables["params"]["kernel"].reshape(
+                mid2, self.out_channel)
+            logits = _PredConvFused(mid2, dtype=self.dtype,
+                                    name="pred_conv1")(
+                outputs, w, target_size, train, tail_k2=k2)
+            return logits.astype(jnp.float32).argmax(-1).astype(jnp.int32)
+        if coarse_pred:
             # algebraic restructure (eval): pred_conv1 is a 1x1x1 channel
             # mix, the blend weight is a per-voxel scalar, and the
             # upsample is spatially linear, so
@@ -124,7 +147,25 @@ class OccHead(nn.Module):
         else:
             logits = Conv1x1x1Dense(self.out_channel, use_bias=False,
                                     dtype=self.dtype, name="pred_conv2")(y)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if return_labels:
+            return logits.argmax(-1).astype(jnp.int32)
+        return logits
+
+    @staticmethod
+    def _tail_ok(outputs, target_size):
+        """The fused tail engages only for integer-factor level shapes on
+        TPU (or under the interpret-mode test hook)."""
+        import os
+        if os.environ.get("FBBEV_OCC_TAIL", "0") != "1":
+            return False
+        if (jax.default_backend() != "tpu"
+                and os.environ.get("FBBEV_FORCE_OCC_TAIL") != "interpret"):
+            return False
+        Y, X, Z = target_size
+        return all(s[1] and Y % s[1] == 0 and s[2] and X % s[2] == 0
+                   and s[3] and Z % s[3] == 0
+                   for s in (f.shape for f in outputs))
 
     @staticmethod
     def _fuse_levels(outputs, w, target_size, train):
@@ -185,14 +226,45 @@ class _PredConvFused(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, outputs, w, target_size, train: bool):
+    def __call__(self, outputs, w, target_size, train: bool,
+                 tail_k2=None):
         conv = Conv1x1x1Dense(self.features, use_bias=False,
                               dtype=self.dtype, name="conv")
         ys = [conv(f) for f in outputs]  # shared params across levels
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name="bn")
+        if tail_k2 is not None:
+            # fused Pallas tail: upsample Z (at coarse X) and Y (leading
+            # dim) here; the X interleave + blend + BN affine + relu +
+            # class matmul run per VMEM row-band in the kernel.  The
+            # dummy call binds/creates the BN params so the eval affine
+            # is readable (during init too) -- same pattern as the
+            # fuse-warp epilogue (fbocc.py).
+            bn(jnp.zeros((1, 1, 1, 1, self.features), self.dtype))
+            v = bn.variables
+            a = (v["params"]["scale"].astype(jnp.float32)
+                 * jax.lax.rsqrt(
+                     v["batch_stats"]["var"].astype(jnp.float32) + 1e-5))
+            bvec = (v["params"]["bias"].astype(jnp.float32)
+                    - v["batch_stats"]["mean"].astype(jnp.float32) * a)
+            from fbbev_tpu.models.layers import _upsample_int_axis
+            from fbbev_tpu.ops.pallas_occ_tail import occ_tail
+            import os
+            Y, X, Z = target_size
+            lv = []
+            for f in ys:
+                if f.shape[3] != Z:
+                    f = _upsample_int_axis(f, 3, Z // f.shape[3])
+                if f.shape[1] != Y:
+                    f = _upsample_int_axis(f, 1, Y // f.shape[1])
+                lv.append(f)
+            interp = (None if jax.default_backend() == "tpu" else
+                      os.environ.get("FBBEV_FORCE_OCC_TAIL")
+                      == "interpret" or None)
+            return occ_tail(lv, w.astype(ys[0].dtype), a, bvec, tail_k2,
+                            interpret=interp)
         fused = OccHead._fuse_levels(ys, w, target_size, train)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn")(fused)
-        return nn.relu(y)
+        return nn.relu(bn(fused))
 
 
 def downsample_gt_mode_pool(target: jnp.ndarray, ratio: int,

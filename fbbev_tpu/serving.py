@@ -125,8 +125,11 @@ class FixedRigPipeline:
         x = mdl.img_bev_encoder_backbone(fused.astype(jnp.float32),
                                          False)
         vox = mdl.img_bev_encoder_neck(x, False)
-        logits = mdl.occupancy_head(vox, False)
-        return logits.argmax(-1).astype(jnp.int32), new_state
+        # the head emits the deployment argmax directly (fbocc_trt.py's
+        # graph ends in labels too); with FBBEV_OCC_TAIL=1 the whole
+        # occ-head tail runs as one Pallas kernel (ops/pallas_occ_tail.py)
+        labels = mdl.occupancy_head(vox, False, return_labels=True)
+        return labels, new_state
 
     def _infer_impl(self, variables, imgs, meta, state: TemporalState,
                     ranks_bev, bwd_terms, mlp_input, qparams=None):

@@ -16,8 +16,13 @@ are executed as int8 convolutions with
     fine) stop dictating the whole tensor's scale.  ``alpha`` via
     ``FBBEV_INT8_SMOOTH_ALPHA`` (default 0.5);
     ``FBBEV_INT8_CALIB=tensor`` restores the per-tensor scheme, and
-  * a per-TENSOR symmetric scale on the smoothed activation (max-abs
-    over calibration frames, the classic static-PTQ recipe).
+  * a per-TENSOR symmetric scale on the smoothed activation.  The
+    per-channel calibration stat is the 99.9th-percentile |x| by default
+    (``FBBEV_INT8_ACT_STAT=absmax`` restores the classic max-abs): on
+    TRAINED weights a handful of post-relu spikes otherwise dictate the
+    whole tensor's step size and argmax agreement collapses to ~60-75%;
+    p999 recovers 82-88%, within ~2 points of the bf16 baseline
+    (FIDELITY_TRAINED_INT8_R5.json, docs/PERF.md round-5).
 
 Nothing in the model code changes: quantization is applied by a flax
 method interceptor (`flax.linen.intercept_methods`) that replaces the
@@ -75,7 +80,12 @@ def collect_scales():
     the returned variables."""
 
     import os
-    stat = os.environ.get("FBBEV_INT8_ACT_STAT", "absmax")
+    # DEFAULT p999 since the round-5 trained-weights fidelity runs: the
+    # absmax stat collapses trained-weights agreement to ~60-75% (one
+    # post-relu spike dictates the whole tensor's step size); the 99.9th
+    # percentile recovers 82-88% -- within ~2 points of the bf16
+    # baseline (docs/PERF.md round-5, FIDELITY_TRAINED_INT8_R5.json)
+    stat = os.environ.get("FBBEV_INT8_ACT_STAT", "p999")
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
@@ -354,7 +364,7 @@ def code_cache_key(model_size, input_size, seed: int) -> dict:
         sha = hashlib.sha256(f.read()).hexdigest()[:16]
     return {"model": str(model_size), "input": list(input_size),
             "seed": int(seed), "quantize_sha": sha,
-            "act_stat": _os.environ.get("FBBEV_INT8_ACT_STAT", "absmax")}
+            "act_stat": _os.environ.get("FBBEV_INT8_ACT_STAT", "p999")}
 
 
 def _quant_nn_conv(m: nn.Conv, qp, x):

@@ -42,8 +42,9 @@ def _calibrate(net, variables, x2d, x3d):
     return Q.scales_from_stats(mut[Q._QCOLL])
 
 
-def test_calibration_collects_all_convs(tiny):
+def test_calibration_collects_all_convs(tiny, monkeypatch):
     net, variables, x2d, x3d = tiny
+    monkeypatch.setenv("FBBEV_INT8_ACT_STAT", "absmax")
     scales = _calibrate(net, variables, x2d, x3d)
     # ConvBN's child conv, the bare nn.Conv, the z-slab, the pointwise
     assert set(scales) == {"c2d/conv", "proj", "c3d", "pw"}, scales
@@ -54,6 +55,15 @@ def test_calibration_collects_all_convs(tiny):
     np.testing.assert_allclose(
         scales["c2d/conv"],
         np.abs(np.asarray(x2d)).max(axis=(0, 1, 2)), rtol=1e-6)
+    # the DEFAULT stat (p999, the trained-weights fidelity fix --
+    # docs/ROUND5.md session 6) clips at the 99.9th percentile: bounded
+    # above by absmax and matching jnp.quantile exactly
+    monkeypatch.delenv("FBBEV_INT8_ACT_STAT")
+    s999 = _calibrate(net, variables, x2d, x3d)
+    a = np.abs(np.asarray(x2d, np.float64))
+    want = np.quantile(a.reshape(-1, 4), 0.999, axis=0)
+    np.testing.assert_allclose(s999["c2d/conv"], want, rtol=1e-4)
+    assert (s999["c2d/conv"] <= scales["c2d/conv"] + 1e-12).all()
 
 
 def test_quantized_outputs_close(tiny):

@@ -66,6 +66,14 @@ COMBOS = [
     # integer 3D upsample
     # price the int8 default against pure-bf16 at the current stack
     ("bf16only", {"FBBEV_INT8": "0"}),
+    # fused occ-head tail kernel (ops/pallas_occ_tail.py): upsample +
+    # blend + BN + relu + class matmul per VMEM row-band
+    ("occtail", {"FBBEV_OCC_TAIL": "1"}),
+    # quality/speed dial: int8 on the image trunk only (the BEV-side
+    # convs carry all the int8 fidelity cost on trained weights --
+    # FID_EX_BEV 83.3-91.6% == bf16 baseline; docs/ROUND5.md session 6)
+    ("int8-imgonly", {"FBBEV_INT8_EXCLUDE_EXTRA":
+                      "img_bev_encoder,occupancy_head"}),
     ("epi", {"FBBEV_FUSE_WARP_EPI": "1"}),
     ("onepass", {"FBBEV_UPSAMPLE3D": "onepass"}),
     ("epi+onepass", {"FBBEV_FUSE_WARP_EPI": "1",
