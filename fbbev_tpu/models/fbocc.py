@@ -44,14 +44,16 @@ from fbbev_tpu.registry import DETECTORS
 def _bev_spec() -> tuple:
     """Partition spec for BEV-stage (B, Y, X, ...) pins.
 
-    Default: batch -> 'data' only (the BEV stages replicate along
-    'space'; that axis shards cameras in the image stages).  With
-    ``FBBEV_BEV_SPACE_SHARD=1`` the BEV Y axis is additionally pinned to
-    'space', so every BEV conv / head runs on Y-slices with GSPMD halo
-    exchanges -- the layout for meshes with more devices than the batch
-    (AOT-priced by tools/multichip_aot.py --space 2)."""
+    Batch -> 'data'; the BEV Y axis -> 'space', so every BEV conv / head
+    runs on Y-slices with GSPMD halo exchanges (a no-op on space=1
+    meshes, where 'space' only shards cameras in the image stages).
+    DEFAULT since the round-5 flagship AOT pricing: a (data=4, space=2)
+    mesh lands at 0.1401x per-device compiled flops vs the 0.125 ideal
+    (MULTICHIP_FLAGSHIP_SPACE.json; round-3's replicated-BEV layout
+    measured 0.217x at the toy shape).  ``FBBEV_BEV_SPACE_SHARD=0``
+    restores the replicate-along-'space' layout."""
     import os
-    if os.environ.get("FBBEV_BEV_SPACE_SHARD") == "1":
+    if os.environ.get("FBBEV_BEV_SPACE_SHARD", "1") == "1":
         return ("data", "space")
     return ("data",)
 

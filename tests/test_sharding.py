@@ -128,3 +128,18 @@ def test_flagship_aot_per_device_flops():
     report = aot.measure(data=8, space=1, batch=8, small=False)
     ratio = report["per_device_ratio"]
     assert ratio <= 0.15, report
+
+
+def test_flagship_aot_space_axis(monkeypatch):
+    """VERDICT r4 #6: the 'space' axis priced at FLAGSHIP shape.  With
+    FBBEV_BEV_SPACE_SHARD=1 (BEV-stage pshard pins add the Y axis on
+    'space' -- GSPMD halo exchanges for the convs, fbocc.py) a
+    (data=4, space=2) mesh must put <= 0.15x of the unsharded step's
+    compiled flops on each device (ideal 0.125; measured 0.1401,
+    MULTICHIP_FLAGSHIP_SPACE.json).  Compile-only; the slow group."""
+    import tools.multichip_aot as aot
+
+    monkeypatch.setenv("FBBEV_BEV_SPACE_SHARD", "1")
+    report = aot.measure(data=4, space=2, batch=4, small=False)
+    ratio = report["per_device_ratio"]
+    assert ratio <= 0.15, report
