@@ -127,18 +127,24 @@ def main():
                         curr_to_prev_ego_rt=b["curr_to_prev_ego_rt"])
 
         if os.environ.get("FBBEV_INT8", "1") == "1":
-            # head-conv impl under int8: the z-slab decomposition's int8
-            # formulation (quantize once, 3 int8 2D convs, int32 accum)
-            # beats the int8 z-banded fold at the head's shapes
-            # (28.61 vs 28.20 fps, docs/ROUND4.md session 4); bf16 keeps
-            # the zfold default (28.04 vs 26.68).
-            os.environ.setdefault("FBBEV_OCCHEAD_CONV3D", "zslab")
+            # head-conv impl: only when the occ head itself is quantized
+            # (FBBEV_INT8_BEV=1, the round-4 all-conv config) does z-slab
+            # beat z-fold there (28.61 vs 28.20 fps, docs/ROUND4.md
+            # session 4).  The round-5 default excludes the BEV side from
+            # int8 (quantize.py::BEV_SIDE_EXCLUDE), so the head runs bf16
+            # and keeps the measured zfold eval default (28.04 vs 26.68).
+            if os.environ.get("FBBEV_INT8_BEV", "0") == "1":
+                os.environ.setdefault("FBBEV_OCCHEAD_CONV3D", "zslab")
             # static int8 PTQ for the serving convs (the reference ships
             # reduced-precision deploy engines the same way: TensorRT
             # FP16/INT8 rows, deployment/README.md).  DEFAULT since round
-            # 4 (on-chip A/B: +2.17 fps; fidelity priced end-to-end in
-            # FIDELITY_INT8_R4.json, within ~1.5% argmax agreement of the
-            # bf16 config); opt out with FBBEV_INT8=0.  Calibration is an
+            # 4; worth +0.91 fps over bf16-only at the round-5 stack
+            # (/tmp/ab_r5e.jsonl) with trained-weights fidelity within ~2
+            # points of bf16 via the p999 calibration stat
+            # (FIDELITY_TRAINED_INT8_R5.json); opt out with FBBEV_INT8=0.
+            # FBBEV_INT8_EXCLUDE_EXTRA="img_bev_encoder,occupancy_head"
+            # is the quality dial (bf16-identical agreement, docs/
+            # PARITY.md).  Calibration is an
             # offline step (the analogue of TRT engine calibration): its
             # full-model stats pass compiles a second graph, so the
             # activation scales are cached on disk and reused.

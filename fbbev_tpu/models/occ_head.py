@@ -111,7 +111,10 @@ class OccHead(nn.Module):
             # fused Pallas tail (upsample + blend + BN + relu + class
             # matmul per VMEM row-band, ops/pallas_occ_tail.py): the
             # full-res blended volume and its relu image never reach HBM.
-            # Opt-in pending the on-chip A/B (FBBEV_OCC_TAIL=1).
+            # Stays OPT-IN: the on-chip A/B regressed (28.46 vs 31.37
+            # fps, /tmp/ab_r5f.jsonl) -- the row-band grid serializes
+            # work XLA overlaps across the blend/upsample fusion
+            # (docs/PERF.md round-5 queue F).
             mid2 = mid // 2
             conv2 = Conv1x1x1Dense(self.out_channel, use_bias=False,
                                    dtype=self.dtype, name="pred_conv2")

@@ -52,6 +52,15 @@ import numpy as np
 # classification logits are the classic PTQ exclusions (and both are
 # cheap 1x1 convs, so the MXU win is negligible anyway)
 DEFAULT_EXCLUDE = (r"pred_conv2", r"depth_net/depth_conv")
+# BEV-side convs (3D encoder + occ head) are excluded BY DEFAULT since
+# the round-5 session-6 A/B + trained-weights fidelity: quantizing them
+# is a strict LOSS on both axes -- the quant/dequant formatting around
+# the small BEV convs costs more than their MXU gain (image-trunk-only
+# 32.07 fps vs all-conv 31.37, /tmp/ab_r5f.jsonl) and they carry all of
+# int8's trained-weights fidelity cost (83.3-91.6% agreement == the
+# bf16 baseline when excluded vs 82-88% all-conv; docs/PARITY.md).
+# FBBEV_INT8_BEV=1 re-enables them (the round-4 all-conv config).
+BEV_SIDE_EXCLUDE = (r"img_bev_encoder", r"occupancy_head")
 
 _QCOLL = "quant_stats"
 
@@ -237,6 +246,9 @@ def build_qparams(variables: Dict[str, Any], scales: Dict[str, Any],
         extra = os.environ.get("FBBEV_INT8_EXCLUDE_EXTRA", "")
         exclude = tuple(DEFAULT_EXCLUDE) + tuple(
             p for p in extra.split(",") if p)
+        if os.environ.get("FBBEV_INT8_BEV", "0") != "1":
+            # image-trunk-only int8 is the default (see BEV_SIDE_EXCLUDE)
+            exclude += tuple(BEV_SIDE_EXCLUDE)
     params = variables["params"]
     exc = [re.compile(p) for p in exclude]
     out: Dict[str, Dict[str, Any]] = {}

@@ -69,11 +69,14 @@ COMBOS = [
     # fused occ-head tail kernel (ops/pallas_occ_tail.py): upsample +
     # blend + BN + relu + class matmul per VMEM row-band
     ("occtail", {"FBBEV_OCC_TAIL": "1"}),
-    # quality/speed dial: int8 on the image trunk only (the BEV-side
-    # convs carry all the int8 fidelity cost on trained weights --
-    # FID_EX_BEV 83.3-91.6% == bf16 baseline; docs/ROUND5.md session 6)
+    # image-trunk-only int8 became the DEFAULT after this combo won on
+    # both axes (32.07 fps vs 31.37 all-conv; trained fidelity == bf16,
+    # docs/ROUND5.md session 6).  It ran with the then-default zslab
+    # head routing; "default" now additionally restores the zfold head.
     ("int8-imgonly", {"FBBEV_INT8_EXCLUDE_EXTRA":
                       "img_bev_encoder,occupancy_head"}),
+    # the round-4 all-conv int8 config, for reference
+    ("int8-bev", {"FBBEV_INT8_BEV": "1"}),
     ("epi", {"FBBEV_FUSE_WARP_EPI": "1"}),
     ("onepass", {"FBBEV_UPSAMPLE3D": "onepass"}),
     ("epi+onepass", {"FBBEV_FUSE_WARP_EPI": "1",
