@@ -127,14 +127,10 @@ def main():
                         curr_to_prev_ego_rt=b["curr_to_prev_ego_rt"])
 
         if os.environ.get("FBBEV_INT8", "1") == "1":
-            # head-conv impl: only when the occ head itself is quantized
-            # (FBBEV_INT8_BEV=1, the round-4 all-conv config) does z-slab
-            # beat z-fold there (28.61 vs 28.20 fps, docs/ROUND4.md
-            # session 4).  The round-5 default excludes the BEV side from
-            # int8 (quantize.py::BEV_SIDE_EXCLUDE), so the head runs bf16
-            # and keeps the measured zfold eval default (28.04 vs 26.68).
-            if os.environ.get("FBBEV_INT8_BEV", "0") == "1":
-                os.environ.setdefault("FBBEV_OCCHEAD_CONV3D", "zslab")
+            # (the occ-head 3x3x3 impl defaults to zslab in eval —
+            # measured best under both the int8-BEV config, 28.61 vs
+            # 28.20, and the shipped image-trunk-only stack, 31.98 vs
+            # 30.05; models/occ_head.py)
             # static int8 PTQ for the serving convs (the reference ships
             # reduced-precision deploy engines the same way: TensorRT
             # FP16/INT8 rows, deployment/README.md).  DEFAULT since round

@@ -118,7 +118,8 @@ class DeformableSelfAttention(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, query, query_pos, ref_2d, spatial_shape):
+    def __call__(self, query, query_pos, ref_2d, spatial_shape,
+                 train: bool = False):
         """query (B,Q,C); ref_2d (B,Q,2) in [0,1]; spatial_shape (H,W)."""
         B, Q, C = query.shape
         identity = query
@@ -147,12 +148,29 @@ class DeformableSelfAttention(nn.Module):
         if Q == H * W and H % 4 == 0 and W % 4 == 0:
             # queries are the BEV grid itself: locality-tiled sampling
             # avoids a one-hot over the full 10k-cell table
-            fn = deformable_sample_attend_grid_tiled
-            if self.remat:
-                # the (T, S, SL) one-hot is a multi-GB training residual;
-                # rebuild it in the backward pass instead
-                fn = jax.checkpoint(fn, static_argnums=(1,))
-            out = fn(v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
+            import os
+            from fbbev_tpu.ops import pallas_selfattn
+            force = os.environ.get("FBBEV_FORCE_PALLAS_SELFATTN")
+            use_kernel = (
+                not train
+                and (jax.default_backend() == "tpu" or force == "interpret")
+                and os.environ.get("FBBEV_PALLAS_SELFATTN", "0") == "1"
+                and pallas_selfattn.supports((H, W), C, Q, heads * P))
+            if use_kernel:
+                # eval/serving: fused Pallas kernel — the BEV table stays
+                # VMEM-resident and the per-tile slabs/one-hots never
+                # reach HBM (docs/PERF.md round-5 A/B; no custom VJP, so
+                # training keeps the XLA path below)
+                out = pallas_selfattn.deformable_self_attend_pallas(
+                    v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0],
+                    interpret=force == "interpret")
+            else:
+                fn = deformable_sample_attend_grid_tiled
+                if self.remat:
+                    # the (T, S, SL) one-hot is a multi-GB training
+                    # residual; rebuild it in the backward pass instead
+                    fn = jax.checkpoint(fn, static_argnums=(1,))
+                out = fn(v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0])
         else:
             out = deformable_sample_attend(
                 v, (H, W), loc[:, :, :, 0], attn[:, :, :, 0],
@@ -484,7 +502,8 @@ class BEVFormerEncoderLayer(nn.Module):
                 query = DeformableSelfAttention(
                     embed_dims=self.embed_dims, dtype=self.dtype,
                     remat=self.remat,
-                    name="self_attn")(query, bev_pos, ref_2d, bev_hw)
+                    name="self_attn")(query, bev_pos, ref_2d, bev_hw,
+                                      train=train)
             elif op == "cross_attn":
                 query = DepthAwareSpatialCrossAttention(
                     embed_dims=self.embed_dims, num_cams=self.num_cams,

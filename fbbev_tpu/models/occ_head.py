@@ -66,20 +66,21 @@ class OccHead(nn.Module):
                               name="deblock_bn")(x0)
             outputs.append(nn.relu(x0))
         # FBBEV_OCCHEAD_CONV3D: per-head 3x3x3 impl ("zslab" / "zfold" /
-        # "native").  Default ZFold since the round-4 on-chip A/B: at the
-        # head's coarse multi-level shapes the single-conv z-banded
-        # formulation beats the z-slab decomposition by ~1.8 ms/frame
-        # (26.68 -> 28.04 fps, docs/ROUND4.md session 3) -- z-slab remains
-        # the right choice for the 3D encoder's deeper stack.  Param
-        # layouts are nn.Conv-compatible for all three, so checkpoints
-        # are unaffected by the routing.
+        # "native").  Eval default ZSLAB since the round-5 queue-G
+        # on-chip A/B at the shipped stack (image-trunk-only int8 +
+        # fuse-warp epilogue): 31.98 vs 30.05 fps for the zfold head
+        # (/tmp/ab_r5g.jsonl) — reversing the round-4 bf16-era call
+        # (26.68 -> 28.04 toward zfold under a different default stack).
+        # Stride-1 z-slab is NOT in the v5e stride-2 miscompile family
+        # (docs/ROUND5.md sessions 1-2), and these head convs are all
+        # stride 1.  Param layouts are nn.Conv-compatible for all three,
+        # so checkpoints are unaffected by the routing.
         import os
-        # zfold is a SERVING measurement; training was never A/B'd and
-        # ZFold pays ~Z/3x MACs, so train keeps the global default
-        # (FBBEV_CONV3D env -> z-slab) unless explicitly overridden
+        # the eval routing is a SERVING measurement; train keeps the
+        # global default (FBBEV_CONV3D env) unless explicitly overridden
         # (ADVICE r4).
         occ_impl = (os.environ.get("FBBEV_OCCHEAD_CONV3D")
-                    or (None if train else "zfold"))
+                    or (None if train else "zslab"))
         for i in range(self.num_level):
             outputs.append(
                 ConvBN(mid, 3, padding=1, ndim=3, dtype=self.dtype,
