@@ -77,6 +77,11 @@ COMBOS = [
                       "img_bev_encoder,occupancy_head"}),
     # the round-4 all-conv int8 config, for reference
     ("int8-bev", {"FBBEV_INT8_BEV": "1"}),
+    # round-5: Pallas locality-tiled BEV self-attention (the XLA
+    # grid-tiled path's ~3 ms slab/one-hot bucket, ops/pallas_selfattn.py)
+    ("selfattn", {"FBBEV_PALLAS_SELFATTN": "1"}),
+    # occ-head 3x3x3 eval routing (zslab default since queue G)
+    ("zfoldhead", {"FBBEV_OCCHEAD_CONV3D": "zfold"}),
     ("epi", {"FBBEV_FUSE_WARP_EPI": "1"}),
     ("onepass", {"FBBEV_UPSAMPLE3D": "onepass"}),
     ("epi+onepass", {"FBBEV_FUSE_WARP_EPI": "1",
